@@ -1,0 +1,62 @@
+"""Throughput benchmark: batched random-policy env-steps/s on Empty-8x8.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: 50M env-steps/s per host on Empty-8x8 (BASELINE.md north star; the
+reference publishes no numbers of its own).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+import minigrid_tpu as mg
+from minigrid_tpu.parallel.vector import rollout_random
+
+NUM_ENVS = 16384
+NUM_STEPS = 256
+WARMUP_ITERS = 2
+MEASURE_ITERS = 5
+BASELINE_STEPS_PER_SEC = 50e6
+
+
+def main():
+    env = mg.make("MiniGrid-Empty-8x8-v0")
+    key = jax.random.PRNGKey(0)
+    k_reset, k_roll = jax.random.split(key)
+    _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k_reset, NUM_ENVS))
+
+    # Warmup / compile.
+    for i in range(WARMUP_ITERS):
+        states, total_r, total_done = rollout_random(env, states, jax.random.fold_in(k_roll, i), NUM_STEPS)
+    jax.block_until_ready(states)
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE_ITERS):
+        states, total_r, total_done = rollout_random(
+            env, states, jax.random.fold_in(k_roll, 100 + i), NUM_STEPS
+        )
+    jax.block_until_ready(states)
+    dt = time.perf_counter() - t0
+
+    steps = NUM_ENVS * NUM_STEPS * MEASURE_ITERS
+    sps = steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_sec_empty8x8_random_policy",
+                "value": round(sps),
+                "unit": "steps/s",
+                "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

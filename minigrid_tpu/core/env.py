@@ -1,0 +1,140 @@
+"""Functional environment base class.
+
+The reference couples episode state to a mutable ``gym.Env`` object
+(reference: minigrid/minigrid_env.py:24-157).  Here an env instance is an
+immutable bundle of *static* configuration; all dynamics are pure functions
+``(key, state, action) -> (obs, state, ...)`` that jit, vmap and scan.  The
+single-env methods below are the semantic core; batching lives in
+minigrid_tpu.parallel.
+
+Auto-reset is fused into ``step``: when an episode ends, the returned state
+is a freshly generated episode (from the state's own key chain) and the
+returned observation is its first observation, with ``terminated/truncated``
+flags reporting the *ending* episode — the standard lockstep-vectorization
+contract.
+"""
+
+from __future__ import annotations
+
+from functools import cached_property
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from minigrid_tpu.core import obs as obs_lib
+from minigrid_tpu.core.actions import NUM_ACTIONS
+from minigrid_tpu.core.state import EnvState
+from minigrid_tpu.core.step import core_step
+
+
+def success_reward(state: EnvState) -> jnp.ndarray:
+    """Reference success reward 1 - 0.9*(step_count/max_steps)
+    (minigrid/minigrid_env.py:240-245)."""
+    return 1.0 - 0.9 * (
+        state.step_count.astype(jnp.float32) / state.max_steps.astype(jnp.float32)
+    )
+
+
+class MiniGridEnv:
+    """Base for all env families.
+
+    Subclasses implement ``_generate(key) -> EnvState`` (the analogue of the
+    reference's ``_gen_grid``, minigrid/minigrid_env.py:236-238) and may
+    override ``_pre_step`` / ``_post_step`` for family-specific dynamics and
+    reward shaping (the analogue of subclass ``step`` overrides).
+    """
+
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        max_steps: int,
+        see_through_walls: bool = False,
+        agent_view_size: int = 7,
+        **kwargs: Any,
+    ):
+        assert agent_view_size % 2 == 1 and agent_view_size >= 3
+        self.width = int(width)
+        self.height = int(height)
+        self.max_steps = int(max_steps)
+        self.see_through_walls = bool(see_through_walls)
+        self.agent_view_size = int(agent_view_size)
+
+    # -- static spaces -------------------------------------------------------
+    @property
+    def num_actions(self) -> int:
+        return NUM_ACTIONS
+
+    @cached_property
+    def obs_shape(self) -> tuple[int, int, int]:
+        return (self.agent_view_size, self.agent_view_size, 3)
+
+    # -- to be provided by subclasses ---------------------------------------
+    def _generate(self, key: jax.Array) -> EnvState:
+        raise NotImplementedError
+
+    def _map_action(self, action):
+        """Family-specific action remapping applied before the core step
+        (e.g. Memory's pickup->toggle, reference minigrid/envs/memory.py:154)."""
+        return action
+
+    def _pre_step(self, key: jax.Array, state: EnvState, action) -> EnvState:
+        """Dynamics that run before the agent's action (e.g. moving obstacles)."""
+        return state
+
+    def _post_step(
+        self,
+        prev_state: EnvState,
+        state: EnvState,
+        action,
+        reward: jnp.ndarray,
+    ) -> tuple[EnvState, jnp.ndarray]:
+        """Family-specific reward/termination overlay."""
+        return state, reward
+
+    # -- public functional API ------------------------------------------------
+    def observation(self, state: EnvState):
+        return obs_lib.gen_obs(state, self.agent_view_size, self.see_through_walls)
+
+    def reset(self, key: jax.Array):
+        state = self._generate(key)
+        return self.observation(state), state
+
+    def step_env(self, state: EnvState, action):
+        """One raw transition without auto-reset."""
+        key, k_pre = jax.random.split(state.rng)
+        state = state.replace(rng=key)
+        mapped = self._map_action(action)
+        state = self._pre_step(k_pre, state, action)
+        prev = state
+        state, reward = core_step(state, mapped)
+        state, reward = self._post_step(prev, state, action, reward)
+        return state, reward
+
+    def step(self, state: EnvState, action):
+        """Transition with fused auto-reset.
+
+        Returns (obs, state, reward, terminated, truncated).
+        """
+        stepped, reward = self.step_env(state, action)
+        terminated, truncated = stepped.terminated, stepped.truncated
+        done = terminated | truncated
+        reset_key, carry_key = jax.random.split(stepped.rng)
+        fresh = self._generate(reset_key)
+        stepped = stepped.replace(rng=carry_key)
+        state = jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(done, (1,) * a.ndim) if a.ndim else done, a, b
+            ),
+            fresh,
+            stepped,
+        )
+        return self.observation(state), state, reward, terminated, truncated
+
+    # -- host-side conveniences ----------------------------------------------
+    def mission_text(self, mission) -> str:
+        """Render a mission vector to the reference's mission string."""
+        from minigrid_tpu.core.mission import mission_to_text
+
+        return mission_to_text(mission)

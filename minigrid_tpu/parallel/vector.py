@@ -1,0 +1,60 @@
+"""Batched lockstep execution.
+
+The reference's only batching is ``gym.vector.SyncVectorEnv`` — a Python
+for-loop over env copies (reference: tests/test_envs.py:317-329).  Here the
+batch is a leading array dimension: ``vmap`` over env states, ``lax.scan``
+over time, auto-reset fused so rollouts never leave the device.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+class VectorEnv:
+    """Lockstep batch of ``num_envs`` copies of one env family."""
+
+    def __init__(self, env, num_envs: int):
+        self.env = env
+        self.num_envs = int(num_envs)
+        self._reset = jax.vmap(env.reset)
+        self._step = jax.vmap(env.step)
+
+    def reset(self, key: jax.Array):
+        keys = jax.random.split(key, self.num_envs)
+        return self._reset(keys)
+
+    def step(self, states, actions):
+        return self._step(states, actions)
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def rollout_random(env, states, key: jax.Array, num_steps: int):
+    """Scan ``num_steps`` uniform-random actions over a batch of states.
+
+    Returns (final_states, total_reward, episodes_finished).  Used by the
+    throughput benchmark; the policy-driven variant lives in
+    minigrid_tpu.rl.
+    """
+    step_batch = jax.vmap(env.step)
+    num_envs = states.step_count.shape[0]
+
+    def body(carry, _):
+        states, key, total_r, total_done = carry
+        key, k_act = jax.random.split(key)
+        actions = jax.random.randint(
+            k_act, (num_envs,), 0, env.num_actions, dtype=jnp.int32
+        )
+        _, states, reward, terminated, truncated = step_batch(states, actions)
+        total_r = total_r + reward.sum()
+        total_done = total_done + (terminated | truncated).sum()
+        return (states, key, total_r, total_done), None
+
+    init = (states, key, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32))
+    (states, _, total_r, total_done), _ = jax.lax.scan(
+        body, init, None, length=num_steps
+    )
+    return states, total_r, total_done

@@ -1,0 +1,153 @@
+"""Sharded PPO learner over the batched environment.
+
+The whole actor-learner loop is one jitted SPMD program: rollout T steps
+under ``lax.scan`` (auto-reset fused, trajectories never leave the device),
+compute GAE, one clipped-surrogate update.  The env batch shards over the
+mesh's ``data`` axis; parameters are replicated, so XLA's partitioner turns
+the gradient reduction into a ``psum`` over ICI — the TPU-native counterpart
+of the NCCL all-reduce the reference never had (SURVEY.md §2.9/§5.8).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from minigrid_tpu.rl.model import ActorCritic
+
+
+class PPOConfig(NamedTuple):
+    rollout_steps: int = 128
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_eps: float = 0.2
+    value_coef: float = 0.5
+    entropy_coef: float = 0.01
+    learning_rate: float = 2.5e-4
+    max_grad_norm: float = 0.5
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    env_states: Any
+    key: jax.Array
+
+
+def make_ppo(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
+    """Build (init_fn, train_step_fn) for the given env family.
+
+    ``init_fn(key, num_envs) -> TrainState``;
+    ``train_step_fn(state) -> (TrainState, metrics)`` — pure and jittable,
+    suitable for ``jax.jit(..., in_shardings=...)`` over a device mesh.
+    """
+    model = ActorCritic(hidden=hidden, num_actions=env.num_actions)
+    tx = optax.chain(
+        optax.clip_by_global_norm(config.max_grad_norm),
+        optax.adam(config.learning_rate),
+    )
+
+    def init_fn(key: jax.Array, num_envs: int) -> TrainState:
+        k_param, k_env, k_loop = jax.random.split(key, 3)
+        obs, env_states = jax.vmap(env.reset)(jax.random.split(k_env, num_envs))
+        params = model.init(k_param, obs["image"][:1], obs["direction"][:1])
+        opt_state = tx.init(params)
+        return TrainState(params, opt_state, env_states, k_loop)
+
+    def policy_apply(params, image, direction):
+        return model.apply(params, image, direction)
+
+    def rollout(params, env_states, key):
+        step_batch = jax.vmap(env.step)
+
+        def body(carry, _):
+            env_states, key = carry
+            key, k_act = jax.random.split(key)
+            obs = jax.vmap(env.observation)(env_states)
+            logits, value = policy_apply(params, obs["image"], obs["direction"])
+            action = jax.random.categorical(k_act, logits)
+            logp = jax.nn.log_softmax(logits)[
+                jnp.arange(action.shape[0]), action
+            ]
+            _, env_states, reward, terminated, truncated = step_batch(
+                env_states, action
+            )
+            done = terminated | truncated
+            traj = (obs["image"], obs["direction"], action, logp, value, reward, done)
+            return (env_states, key), traj
+
+        (env_states, key), traj = jax.lax.scan(
+            body, (env_states, key), None, length=config.rollout_steps
+        )
+        return env_states, key, traj
+
+    def gae(values, rewards, dones, last_value):
+        def body(carry, inp):
+            adv_next, v_next = carry
+            value, reward, done = inp
+            nonterm = 1.0 - done.astype(jnp.float32)
+            delta = reward + config.gamma * v_next * nonterm - value
+            adv = delta + config.gamma * config.gae_lambda * nonterm * adv_next
+            return (adv, value), adv
+
+        (_, _), advs = jax.lax.scan(
+            body,
+            (jnp.zeros_like(last_value), last_value),
+            (values, rewards, dones),
+            reverse=True,
+        )
+        return advs
+
+    def loss_fn(params, batch):
+        image, direction, action, old_logp, adv, target = batch
+        logits, value = policy_apply(params, image, direction)
+        logp_all = jax.nn.log_softmax(logits)
+        logp = jnp.take_along_axis(logp_all, action[..., None], axis=-1)[..., 0]
+        ratio = jnp.exp(logp - old_logp)
+        adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
+        pg = -jnp.minimum(
+            ratio * adv_n,
+            jnp.clip(ratio, 1 - config.clip_eps, 1 + config.clip_eps) * adv_n,
+        ).mean()
+        v_loss = 0.5 * jnp.square(value - target).mean()
+        entropy = -(jnp.exp(logp_all) * logp_all).sum(-1).mean()
+        loss = pg + config.value_coef * v_loss - config.entropy_coef * entropy
+        return loss, (pg, v_loss, entropy)
+
+    def train_step(state: TrainState):
+        env_states, key, traj = rollout(state.params, state.env_states, state.key)
+        image, direction, action, logp, value, reward, done = traj
+        last_obs = jax.vmap(env.observation)(env_states)
+        _, last_value = policy_apply(state.params, last_obs["image"], last_obs["direction"])
+        adv = gae(value, reward, done, last_value)
+        target = adv + value
+        # Flatten time x env into one batch.
+        flat = jax.tree.map(
+            lambda x: x.reshape((-1,) + x.shape[2:]),
+            (image, direction, action, logp, adv, target),
+        )
+        grads, (pg, v_loss, entropy) = jax.grad(loss_fn, has_aux=True)(
+            state.params, flat
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "pg_loss": pg,
+            "value_loss": v_loss,
+            "entropy": entropy,
+            "reward_per_step": reward.mean(),
+            "episodes": done.sum(),
+        }
+        return TrainState(params, opt_state, env_states, key), metrics
+
+    return init_fn, train_step
+
+
+@partial(jax.jit, static_argnums=(0,))
+def forward_step(model: ActorCritic, params, image, direction):
+    """Jittable flagship forward pass (used by __graft_entry__.entry)."""
+    return model.apply(params, image, direction)

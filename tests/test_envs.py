@@ -1,0 +1,131 @@
+"""Per-env conformance tests over the full registry (model: reference
+tests/test_envs.py — spec-parametrized determinism + invariant checks)."""
+
+from __future__ import annotations
+
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import minigrid_tpu as mg
+from minigrid_tpu.core.constants import (
+    OBJ_BALL,
+    OBJ_BOX,
+    OBJ_DOOR,
+    OBJ_EMPTY,
+    OBJ_FLOOR,
+    OBJ_GOAL,
+    OBJ_KEY,
+    OBJ_LAVA,
+    OBJ_WALL,
+)
+
+ALL_IDS = mg.registered_ids()
+
+
+def tree_equal(a, b) -> bool:
+    leaves_a = jax.tree.leaves(a)
+    leaves_b = jax.tree.leaves(b)
+    return all(np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(leaves_a, leaves_b))
+
+
+@pytest.mark.parametrize("env_id", ALL_IDS)
+def test_generate_deterministic(env_id):
+    env = mg.make(env_id)
+    key = jax.random.PRNGKey(42)
+    _, s1 = env.reset(key)
+    _, s2 = env.reset(key)
+    assert tree_equal(s1, s2)
+
+
+@pytest.mark.parametrize("env_id", ALL_IDS)
+def test_generate_invariants(env_id):
+    env = mg.make(env_id)
+    reset = jax.jit(jax.vmap(env.reset))
+    _, states = reset(jax.random.split(jax.random.PRNGKey(0), 64))
+    grids = np.asarray(states.grid)
+    pos = np.asarray(states.agent_pos)
+    dirs = np.asarray(states.agent_dir)
+
+    # Boundary is fully walled in every classic env.
+    assert (grids[:, 0, :, 0] == OBJ_WALL).all()
+    assert (grids[:, -1, :, 0] == OBJ_WALL).all()
+    assert (grids[:, :, 0, 0] == OBJ_WALL).all()
+    assert (grids[:, :, -1, 0] == OBJ_WALL).all()
+
+    # Cell vocabulary is valid (no "unseen"/"agent" markers in world grids).
+    assert grids[..., 0].min() >= OBJ_EMPTY
+    assert grids[..., 0].max() <= OBJ_LAVA
+    assert grids[..., 1].max() < 6
+    assert (dirs >= 0).all() and (dirs < 4).all()
+
+    # Agent stands on an overlappable cell (reference: minigrid_env.py:141-143).
+    n = grids.shape[0]
+    agent_cells = grids[np.arange(n), pos[:, 0], pos[:, 1]]
+    overlappable = np.isin(agent_cells[:, 0], [OBJ_EMPTY, OBJ_FLOOR, OBJ_GOAL, OBJ_LAVA]) | (
+        (agent_cells[:, 0] == OBJ_DOOR) & (agent_cells[:, 2] == 0)
+    )
+    assert overlappable.all()
+
+
+def _solvable(grid: np.ndarray, start: tuple[int, int]) -> bool:
+    """BFS reachability to a goal treating doors as passable (agent can
+    always unlock in DoorKey-style layouts) and lava/walls as blocking."""
+    w, h = grid.shape[:2]
+    passable = np.isin(grid[..., 0], [OBJ_EMPTY, OBJ_FLOOR, OBJ_GOAL, OBJ_DOOR, OBJ_KEY, OBJ_BALL, OBJ_BOX])
+    seen = np.zeros((w, h), bool)
+    q = deque([start])
+    seen[start] = True
+    while q:
+        x, y = q.popleft()
+        if grid[x, y, 0] == OBJ_GOAL:
+            return True
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nx, ny = x + dx, y + dy
+            if 0 <= nx < w and 0 <= ny < h and not seen[nx, ny] and passable[nx, ny]:
+                seen[nx, ny] = True
+                q.append((nx, ny))
+    return False
+
+
+GOAL_ENVS = [i for i in ALL_IDS if any(
+    k in i for k in ("Empty", "DoorKey", "FourRooms", "DistShift", "LavaGap", "Crossing")
+)]
+
+
+@pytest.mark.parametrize("env_id", GOAL_ENVS)
+def test_always_solvable(env_id):
+    env = mg.make(env_id)
+    reset = jax.jit(jax.vmap(env.reset))
+    _, states = reset(jax.random.split(jax.random.PRNGKey(7), 256))
+    grids = np.asarray(states.grid)
+    pos = np.asarray(states.agent_pos)
+    for n in range(grids.shape[0]):
+        assert _solvable(grids[n], tuple(pos[n])), f"{env_id} seed-batch idx {n} unsolvable"
+
+
+@pytest.mark.parametrize("env_id", ["MiniGrid-Empty-5x5-v0", "MiniGrid-LavaGapS5-v0"])
+def test_truncation_and_autoreset(env_id):
+    env = mg.make(env_id)
+    _, state = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    # Spin in place until truncation: max_steps 'done' actions.
+    for t in range(int(state.max_steps)):
+        obs, state, r, term, trunc = step(state, jnp.asarray(6))
+    assert bool(trunc)
+    # Auto-reset happened: fresh episode counters.
+    assert int(state.step_count) == 0
+
+
+@pytest.mark.parametrize("env_id", ALL_IDS)
+def test_rollout_smoke(env_id):
+    from minigrid_tpu.parallel.vector import rollout_random
+
+    env = mg.make(env_id)
+    _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(jax.random.PRNGKey(1), 8))
+    states, total_r, total_done = rollout_random(env, states, jax.random.PRNGKey(2), 50)
+    assert np.isfinite(float(total_r))
+    assert np.asarray(states.grid).shape[0] == 8
