@@ -112,6 +112,21 @@ class MiniGridEnv:
         state, reward = self._post_step(prev, state, action, reward)
         return state, reward
 
+    def autoreset(self, stepped: EnvState) -> EnvState:
+        """Blend a freshly generated episode into slots where the episode
+        ended (the reset key comes from the state's own key chain)."""
+        done = stepped.terminated | stepped.truncated
+        reset_key, carry_key = jax.random.split(stepped.rng)
+        fresh = self._generate(reset_key)
+        stepped = stepped.replace(rng=carry_key)
+        return jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(done, (1,) * a.ndim) if a.ndim else done, a, b
+            ),
+            fresh,
+            stepped,
+        )
+
     def step(self, state: EnvState, action):
         """Transition with fused auto-reset.
 
@@ -119,18 +134,35 @@ class MiniGridEnv:
         """
         stepped, reward = self.step_env(state, action)
         terminated, truncated = stepped.terminated, stepped.truncated
-        done = terminated | truncated
-        reset_key, carry_key = jax.random.split(stepped.rng)
-        fresh = self._generate(reset_key)
-        stepped = stepped.replace(rng=carry_key)
-        state = jax.tree.map(
-            lambda a, b: jnp.where(
-                jnp.reshape(done, (1,) * a.ndim) if a.ndim else done, a, b
-            ),
-            fresh,
-            stepped,
-        )
+        state = self.autoreset(stepped)
         return self.observation(state), state, reward, terminated, truncated
+
+    # -- rendering -------------------------------------------------------------
+    def get_frame(
+        self,
+        state: EnvState,
+        highlight: bool = True,
+        tile_size: int = 32,
+        agent_pov: bool = False,
+    ):
+        """RGB frame of the current state (reference: minigrid_env.py:716-739)."""
+        from minigrid_tpu.render.frame import get_frame
+
+        return get_frame(
+            state,
+            self.agent_view_size,
+            self.see_through_walls,
+            highlight=highlight,
+            tile_size=tile_size,
+            agent_pov=agent_pov,
+        )
+
+    def render(self, state: EnvState, tile_size: int = 32):
+        """rgb_array render (reference render_mode="rgb_array",
+        minigrid_env.py:741-785)."""
+        import numpy as np
+
+        return np.asarray(self.get_frame(state, tile_size=tile_size))
 
     # -- host-side conveniences ----------------------------------------------
     def mission_text(self, mission) -> str:

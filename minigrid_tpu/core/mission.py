@@ -69,3 +69,94 @@ def mission_to_text(mission) -> str:
 
 def num_templates() -> int:
     return len(_TEMPLATES)
+
+
+# -- Word-token machinery for language wrappers ------------------------------
+# The reference's fixed Minigrid vocabulary
+# (minigrid/wrappers.py:471-530): colors + objects + verbs + extra words.
+MINIGRID_WORDS = (
+    ["red", "green", "blue", "yellow", "purple", "grey"]
+    + [
+        "unseen", "empty", "wall", "floor", "box", "key", "ball", "door",
+        "goal", "agent", "lava",
+    ]
+    + [
+        "pick", "avoid", "get", "find", "put", "use", "open", "go", "fetch",
+        "reach", "unlock", "traverse",
+    ]
+    + [
+        "up", "the", "a", "at", ",", "square", "and", "then", "to", "of",
+        "rooms", "near", "opening", "must", "you", "matching", "end",
+        "hallway", "object", "from", "room", "maze",
+    ]
+)
+WORD_TO_IDX = {w: i for i, w in enumerate(MINIGRID_WORDS)}
+
+
+def _template_words(template: str) -> list[str | int]:
+    """Split a template into vocabulary words and int param-slot markers.
+
+    Commas are separate tokens (reference string_to_indices,
+    minigrid/wrappers.py:532-544 adds spaces around commas)."""
+    out: list[str | int] = []
+    for piece in template.replace(",", " , ").split():
+        if piece.startswith("{") and piece.endswith("}"):
+            out.append(int(piece[1:-1]))
+        else:
+            out.append(piece)
+    return out
+
+
+def build_token_tables(max_words: int = 50):
+    """Device tables for mission-vector -> word-index conversion.
+
+    Returns dict with:
+      * tokens: int32[T, max_words] — word_idx+1 entries, 0 padding, and
+        -(slot+1) sentinels for parameter slots
+      * slot_kind: int32[T, max_slots] — 0 color / 1 type / 2 int
+      * color_words / type_words: int32 lookup of word_idx+1 per param value
+    """
+    import numpy as np
+
+    T = len(_TEMPLATES)
+    max_slots = MISSION_DIM - 1
+    tokens = np.zeros((T, max_words), np.int32)
+    slot_kind = np.zeros((T, max_slots), np.int32)
+    for t, (template, kinds) in enumerate(_TEMPLATES):
+        for s, kind in enumerate(kinds):
+            slot_kind[t, s] = {PARAM_COLOR: 0, PARAM_TYPE: 1, PARAM_INT: 2}[kind]
+        for w, piece in enumerate(_template_words(template)):
+            if isinstance(piece, int):
+                tokens[t, w] = -(piece + 1)
+            else:
+                tokens[t, w] = WORD_TO_IDX[piece] + 1
+    color_words = np.array(
+        [WORD_TO_IDX[IDX_TO_COLOR[c]] + 1 for c in range(6)], np.int32
+    )
+    type_words = np.array(
+        [WORD_TO_IDX.get(IDX_TO_OBJECT[o], -1) + 1 for o in range(11)], np.int32
+    )
+    return {
+        "tokens": jnp.asarray(tokens),
+        "slot_kind": jnp.asarray(slot_kind),
+        "color_words": jnp.asarray(color_words),
+        "type_words": jnp.asarray(type_words),
+    }
+
+
+def mission_word_tokens(mission: jnp.ndarray, tables) -> jnp.ndarray:
+    """int32[max_words] word indices (+1 offset, 0 pad) for a mission vector —
+    the reference's string_to_indices output (minigrid/wrappers.py:546-550)."""
+    toks = tables["tokens"][mission[0]]
+    max_slots = MISSION_DIM - 1
+    for s in range(max_slots):
+        kind = tables["slot_kind"][mission[0], s]
+        p = mission[1 + s]
+        word = jnp.where(
+            kind == 0,
+            tables["color_words"][jnp.clip(p, 0, 5)],
+            tables["type_words"][jnp.clip(p, 0, 10)],
+        )
+        toks = jnp.where(toks == -(s + 1), word, toks)
+    return toks
+

@@ -1,0 +1,383 @@
+"""Functional RoomGrid builder.
+
+The reference's ``RoomGrid`` (minigrid/core/roomgrid.py:66-438) is a mutable
+env base class holding ``Room`` objects with door/neighbor pointers.  Here the
+lattice is static (room_size/num_rows/num_cols are Python ints), and the
+dynamic construction state is a small pytree of arrays threaded through pure
+builder methods — every sampling step is key-driven and the unbounded
+rejection loops become masked categorical draws or bounded ``while_loop``s
+with identical acceptance distributions.
+
+Wall-slot representation: the lattice shares door positions between adjacent
+rooms, so connectivity is stored per wall slot:
+* ``door_y[j, i]``  — sampled y of the door slot in the RIGHT wall of room
+  (i, j) (valid for i < num_cols-1)         (reference :159-161)
+* ``door_x[j, i]``  — sampled x of the slot in the BOTTOM wall (j < num_rows-1)
+* ``open_right[j, i]`` / ``open_down[j, i]`` — a door exists or the wall was
+  removed on that slot (the reference's ``room.doors[k]`` truthiness)
+* ``locked[j, i]``  — room is behind a locked door (reference :260)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minigrid_tpu.core import grid as g
+from minigrid_tpu.core.constants import (
+    OBJ_BALL,
+    OBJ_BOX,
+    OBJ_DOOR,
+    OBJ_EMPTY,
+    OBJ_KEY,
+    OBJ_WALL,
+    SORTED_COLOR_IDX,
+    STATE_CLOSED,
+    STATE_LOCKED,
+)
+from minigrid_tpu.core.sampling import randint, sample_mask_cell
+
+# Object kinds in the reference's draw order ["key", "ball", "box"]
+# (minigrid/core/roomgrid.py:210).
+KIND_TABLE = jnp.asarray(np.array([OBJ_KEY, OBJ_BALL, OBJ_BOX], np.uint8))
+_COMBO_KIND = jnp.asarray(np.repeat(np.array([OBJ_KEY, OBJ_BALL, OBJ_BOX], np.uint8), 6))
+_COMBO_COLOR = jnp.asarray(np.tile(np.asarray(SORTED_COLOR_IDX, np.uint8), 3))
+
+
+from flax import struct
+
+
+@struct.dataclass
+class RoomGridState:
+    """Traced construction state (all fields are jnp arrays; the lattice
+    geometry is static on the builder)."""
+
+    grid: jnp.ndarray  # uint8[W, H, 3]
+    door_y: jnp.ndarray  # int32[rows, cols]
+    door_x: jnp.ndarray  # int32[rows, cols]
+    open_right: jnp.ndarray  # bool[rows, cols]
+    open_down: jnp.ndarray  # bool[rows, cols]
+    locked: jnp.ndarray  # bool[rows, cols]
+    combo_present: jnp.ndarray  # bool[18] — (kind, color) pairs placed
+    agent_pos: jnp.ndarray  # int32[2]
+    agent_dir: jnp.ndarray  # int32[]
+
+
+class RoomGridBuilder:
+    """Static lattice geometry + pure construction methods."""
+
+    def __init__(self, room_size: int, num_rows: int, num_cols: int):
+        assert room_size >= 3
+        self.room_size = room_size
+        self.num_rows = num_rows
+        self.num_cols = num_cols
+        self.width = (room_size - 1) * num_cols + 1
+        self.height = (room_size - 1) * num_rows + 1
+
+    # -- lattice geometry (static) -------------------------------------------
+    def room_top(self, i, j):
+        rs = self.room_size - 1
+        return jnp.asarray(i, jnp.int32) * rs, jnp.asarray(j, jnp.int32) * rs
+
+    def room_of_pos(self, x, y):
+        rs = self.room_size - 1
+        return x // rs, y // rs
+
+    def init(self, key: jax.Array) -> RoomGridState:
+        """Lattice walls + per-wall door slots (reference :123-179)."""
+        rs = self.room_size - 1
+        w, h = self.width, self.height
+        xs, ys = np.arange(w), np.arange(h)
+        lattice = (xs[:, None] % rs == 0) | (ys[None, :] % rs == 0)
+        grid = g.put(g.empty_grid(w, h), jnp.asarray(lattice), jnp.asarray([OBJ_WALL, 5, 0], jnp.uint8))
+
+        # Door slots: right-wall y in [top+1, top+rs), bottom-wall x likewise
+        # (reference :159-164), one uniform draw per interior wall.
+        k1, k2 = jax.random.split(key)
+        r, c = self.num_rows, self.num_cols
+        y_base = (jnp.arange(r, dtype=jnp.int32) * rs)[:, None]
+        x_base = (jnp.arange(c, dtype=jnp.int32) * rs)[None, :]
+        door_y = y_base + jax.random.randint(k1, (r, c), 1, rs, dtype=jnp.int32)
+        door_x = x_base + jax.random.randint(k2, (r, c), 1, rs, dtype=jnp.int32)
+
+        # Agent starts at the middle-room center facing east (reference :172-179).
+        agent_pos = jnp.asarray(
+            [(c // 2) * rs + self.room_size // 2, (r // 2) * rs + self.room_size // 2],
+            jnp.int32,
+        )
+        return RoomGridState(
+            grid=grid,
+            door_y=door_y,
+            door_x=door_x,
+            open_right=jnp.zeros((r, c), bool),
+            open_down=jnp.zeros((r, c), bool),
+            locked=jnp.zeros((r, c), bool),
+            combo_present=jnp.zeros((18,), bool),
+            agent_pos=agent_pos,
+            agent_dir=jnp.int32(0),
+        )
+
+    # -- door helpers ----------------------------------------------------------
+    def door_slot(self, s: RoomGridState, i, j, k):
+        """(x, y) of the door slot on wall k (0=right,1=down,2=left,3=up) of
+        room (i, j); i/j/k may be traced."""
+        rs = self.room_size - 1
+        i = jnp.asarray(i, jnp.int32)
+        j = jnp.asarray(j, jnp.int32)
+        k = jnp.asarray(k, jnp.int32)
+        # Wall-slot owner room: left/up walls belong to the left/up neighbor.
+        oi = jnp.where(k == 2, i - 1, i)
+        oj = jnp.where(k == 3, j - 1, j)
+        oi_c = jnp.clip(oi, 0, self.num_cols - 1)
+        oj_c = jnp.clip(oj, 0, self.num_rows - 1)
+        horizontal = (k == 0) | (k == 2)
+        x = jnp.where(horizontal, (oi_c + 1) * rs, s.door_x[oj_c, oi_c])
+        y = jnp.where(horizontal, s.door_y[oj_c, oi_c], (oj_c + 1) * rs)
+        valid = jnp.where(
+            horizontal,
+            (oi >= 0) & (oi < self.num_cols - 1) & (j >= 0) & (j < self.num_rows),
+            (oj >= 0) & (oj < self.num_rows - 1) & (i >= 0) & (i < self.num_cols),
+        )
+        return x, y, valid, oi_c, oj_c, horizontal
+
+    def wall_open(self, s: RoomGridState, i, j, k):
+        _, _, valid, oi, oj, horizontal = self.door_slot(s, i, j, k)
+        return valid & jnp.where(horizontal, s.open_right[oj, oi], s.open_down[oj, oi])
+
+    def _set_wall_open(self, s: RoomGridState, i, j, k) -> RoomGridState:
+        _, _, _, oi, oj, horizontal = self.door_slot(s, i, j, k)
+        open_right = jnp.where(
+            horizontal, s.open_right.at[oj, oi].set(True), s.open_right
+        )
+        open_down = jnp.where(
+            horizontal, s.open_down, s.open_down.at[oj, oi].set(True)
+        )
+        return s.replace(open_right=open_right, open_down=open_down)
+
+    def add_door(
+        self,
+        key: jax.Array,
+        s: RoomGridState,
+        i,
+        j,
+        k,
+        color=None,
+        locked=None,
+    ):
+        """Place a door on wall k of room (i, j) (reference :230-274).
+        Returns (state, color, (x, y))."""
+        k_color, k_locked = jax.random.split(key)
+        if color is None:
+            color = jnp.asarray(SORTED_COLOR_IDX)[randint(k_color, 0, 6)]
+        color = jnp.asarray(color, jnp.uint8)
+        if locked is None:
+            locked = randint(k_locked, 0, 2) == 0  # reference _rand_bool
+        locked = jnp.asarray(locked)
+
+        x, y, _, _, _, _ = self.door_slot(s, i, j, k)
+        door_state = jnp.where(locked, STATE_LOCKED, STATE_CLOSED).astype(jnp.uint8)
+        grid = g.set_cell(
+            s.grid, x, y, jnp.stack([jnp.asarray(OBJ_DOOR, jnp.uint8), color, door_state])
+        )
+        s = s.replace(grid=grid)
+        s = self._set_wall_open(s, i, j, k)
+        # room.locked is set on the room add_door was called on (reference :260).
+        ii = jnp.clip(jnp.asarray(i, jnp.int32), 0, self.num_cols - 1)
+        jj = jnp.clip(jnp.asarray(j, jnp.int32), 0, self.num_rows - 1)
+        new_locked = s.locked.at[jj, ii].set(locked)
+        return s.replace(locked=new_locked), color, jnp.stack([x, y])
+
+    def remove_wall(self, s: RoomGridState, i, j, k) -> RoomGridState:
+        """Clear the interior cells of wall k of room (i, j) (reference :276-311)."""
+        rs = self.room_size - 1
+        tx, ty = self.room_top(i, j)
+        w, h = self.width, self.height
+        xs, ys = g.coord_grids(w, h)
+        k = jnp.asarray(k, jnp.int32)
+        # Wall line coordinates per k.
+        vert = (k == 0) | (k == 2)
+        wall_x = jnp.where(k == 0, tx + rs, tx)  # for vertical walls
+        wall_y = jnp.where(k == 1, ty + rs, ty)  # for horizontal walls
+        vmask = (xs == wall_x) & (ys > ty) & (ys < ty + rs)
+        hmask = (ys == wall_y) & (xs > tx) & (xs < tx + rs)
+        mask = jnp.where(vert, vmask, hmask)
+        from minigrid_tpu.core.constants import EMPTY_CELL
+
+        s = s.replace(grid=g.put(s.grid, mask, EMPTY_CELL))
+        return self._set_wall_open(s, i, j, k)
+
+    # -- object placement -------------------------------------------------------
+    def room_interior_mask(self, i, j) -> jnp.ndarray:
+        tx, ty = self.room_top(i, j)
+        return g.rect_mask(self.width, self.height, tx, ty, self.room_size, self.room_size)
+
+    def place_in_room(self, key: jax.Array, s: RoomGridState, i, j, cell_value):
+        """Place ``cell_value`` on a free cell of room (i, j), not within
+        manhattan distance 2 of the agent (reference :181-196 with
+        reject_next_to :11-20).  Returns (state, pos)."""
+        xs, ys = g.coord_grids(self.width, self.height)
+        near_agent = (
+            jnp.abs(xs - s.agent_pos[0]) + jnp.abs(ys - s.agent_pos[1])
+        ) < 2
+        m = g.free_mask(s.grid, s.agent_pos) & self.room_interior_mask(i, j) & ~near_agent
+        pos = sample_mask_cell(key, m)
+        grid = g.set_cell(s.grid, pos[0], pos[1], cell_value)
+        return s.replace(grid=grid), pos
+
+    def add_object(self, key: jax.Array, s: RoomGridState, i, j, kind=None, color=None):
+        """Add a key/ball/box of the given or random kind/color
+        (reference :198-228).  Returns (state, kind, color, pos)."""
+        k_kind, k_color, k_place = jax.random.split(key, 3)
+        if kind is None:
+            kind = KIND_TABLE[randint(k_kind, 0, 3)]
+        kind = jnp.asarray(kind, jnp.uint8)
+        if color is None:
+            color = jnp.asarray(SORTED_COLOR_IDX)[randint(k_color, 0, 6)]
+        color = jnp.asarray(color, jnp.uint8)
+        cell_value = jnp.stack([kind, color, jnp.zeros((), jnp.uint8)])
+        s, pos = self.place_in_room(k_place, s, i, j, cell_value)
+        combo_idx = self._combo_index(kind, color)
+        s = s.replace(combo_present=s.combo_present.at[combo_idx].set(True))
+        return s, kind, color, pos
+
+    @staticmethod
+    def _combo_index(kind, color):
+        """Index into the 18-entry (kind, color) table."""
+        kind_idx = jnp.where(kind == OBJ_KEY, 0, jnp.where(kind == OBJ_BALL, 1, 2))
+        # color is a raw color index; map back to sorted order position.
+        sorted_pos = jnp.argmax(
+            jnp.asarray(SORTED_COLOR_IDX) == jnp.asarray(color, jnp.int32)
+        )
+        return kind_idx * 6 + sorted_pos
+
+    def place_agent(self, key: jax.Array, s: RoomGridState, i=None, j=None):
+        """Place the agent in room (i, j) (random room if unspecified) on a
+        free cell with nothing but empty/wall in front (reference :313-334).
+        The reference's propose-and-reject over (pos, dir) is uniform over the
+        acceptance set, so we sample that set directly."""
+        k_room_i, k_room_j, k_pose = jax.random.split(key, 3)
+        if i is None:
+            i = randint(k_room_i, 0, self.num_cols)
+        if j is None:
+            j = randint(k_room_j, 0, self.num_rows)
+
+        w, h = self.width, self.height
+        free = g.free_mask(s.grid) & self.room_interior_mask(i, j)
+        obj = s.grid[:, :, 0]
+        front_ok_map = (obj == OBJ_EMPTY) | (obj == OBJ_WALL)
+        # front_ok[x, y, d] = front_ok_map at (x, y) + DIR_TO_VEC[d]; free
+        # cells are interior so the shifted reads stay in bounds.
+        pads = []
+        padded = jnp.pad(front_ok_map, 1, constant_values=True)
+        for dx, dy in ((1, 0), (0, 1), (-1, 0), (0, -1)):
+            pads.append(padded[1 + dx : 1 + dx + w, 1 + dy : 1 + dy + h])
+        front_ok = jnp.stack(pads, axis=-1)  # [W, H, 4]
+        m = free[:, :, None] & front_ok
+        logits = jnp.where(m.reshape(-1), 0.0, -jnp.inf)
+        idx = jax.random.categorical(k_pose, logits)
+        d = idx % 4
+        xy = idx // 4
+        pos = jnp.stack([xy // h, xy % h]).astype(jnp.int32)
+        return s.replace(agent_pos=pos, agent_dir=d.astype(jnp.int32))
+
+    # -- connectivity ------------------------------------------------------------
+    def reach_mask(self, s: RoomGridState) -> jnp.ndarray:
+        """bool[rows, cols] of rooms reachable from the agent's room through
+        open wall slots (the reference's find_reach DFS, :348-359; locked
+        doors count as connections)."""
+        r, c = self.num_rows, self.num_cols
+        ai, aj = self.room_of_pos(s.agent_pos[0], s.agent_pos[1])
+        reach = (
+            (jnp.arange(c)[None, :] == ai) & (jnp.arange(r)[:, None] == aj)
+        )
+        def body(_, reach):
+            right = jnp.pad(reach[:, :-1] & s.open_right[:, :-1], ((0, 0), (1, 0)))
+            left = jnp.pad(reach[:, 1:] & s.open_right[:, :-1], ((0, 0), (0, 1)))
+            down = jnp.pad(reach[:-1, :] & s.open_down[:-1, :], ((1, 0), (0, 0)))
+            up = jnp.pad(reach[1:, :] & s.open_down[:-1, :], ((0, 1), (0, 0)))
+            return reach | right | left | down | up
+        return jax.lax.fori_loop(0, r * c, body, reach)
+
+    def connect_all(self, key: jax.Array, s: RoomGridState, door_colors=None, max_itrs: int = 5000) -> RoomGridState:
+        """Randomly add open doors until every room is reachable
+        (reference :336-394): per iteration sample (i, j, k); skip if the slot
+        is missing/occupied or either side is locked; else add a door of a
+        random allowed color."""
+        if door_colors is None:
+            color_table = jnp.asarray(SORTED_COLOR_IDX)
+        else:
+            color_table = jnp.asarray(np.asarray(door_colors, np.int32))
+        n_colors = int(color_table.shape[0])
+        r, c = self.num_rows, self.num_cols
+
+        def cond(carry):
+            s, key, itr = carry
+            return (~self.reach_mask(s).all()) & (itr <= max_itrs)
+
+        def body(carry):
+            s, key, itr = carry
+            key, ki, kj, kk, kc = jax.random.split(key, 5)
+            i = randint(ki, 0, c)
+            j = randint(kj, 0, r)
+            k = randint(kk, 0, 4)
+            x, y, valid, oi, oj, horizontal = self.door_slot(s, i, j, k)
+            occupied = jnp.where(horizontal, s.open_right[oj, oi], s.open_down[oj, oi])
+            # neighbor room on the other side of wall k
+            ni = jnp.clip(i + jnp.where(k == 0, 1, jnp.where(k == 2, -1, 0)), 0, c - 1)
+            nj = jnp.clip(j + jnp.where(k == 1, 1, jnp.where(k == 3, -1, 0)), 0, r - 1)
+            ii = jnp.clip(i, 0, c - 1)
+            jj = jnp.clip(j, 0, r - 1)
+            blocked = s.locked[jj, ii] | s.locked[nj, ni]
+            do = valid & ~occupied & ~blocked
+
+            color = color_table[randint(kc, 0, n_colors)].astype(jnp.uint8)
+            door_cell = jnp.stack(
+                [jnp.asarray(OBJ_DOOR, jnp.uint8), color, jnp.asarray(STATE_CLOSED, jnp.uint8)]
+            )
+            new_grid = g.set_cell(s.grid, x, y, door_cell)
+            new_or = jnp.where(horizontal, s.open_right.at[oj, oi].set(True), s.open_right)
+            new_od = jnp.where(horizontal, s.open_down, s.open_down.at[oj, oi].set(True))
+            s = s.replace(
+                grid=jnp.where(do, new_grid, s.grid),
+                open_right=jnp.where(do, new_or, s.open_right),
+                open_down=jnp.where(do, new_od, s.open_down),
+            )
+            return (s, key, itr + 1)
+
+        arrays = (s, key, jnp.int32(0))
+        s, _, _ = jax.lax.while_loop(cond, body, arrays)
+        return s
+
+    def add_distractors(
+        self,
+        key: jax.Array,
+        s: RoomGridState,
+        i=None,
+        j=None,
+        num_distractors: int = 10,
+        all_unique: bool = True,
+    ):
+        """Add random distractor objects (reference :396-438).  Returns
+        (state, kinds[n], colors[n], positions[n,2])."""
+        kinds, colors, positions = [], [], []
+        keys = jax.random.split(key, num_distractors)
+        for n in range(num_distractors):
+            kc, kk, kri, krj, kp = jax.random.split(keys[n], 5)
+            if all_unique:
+                # Uniform over combos not yet present (the reference's
+                # rejection loop :417-422 conditioned on acceptance).
+                logits = jnp.where(s.combo_present, -jnp.inf, 0.0)
+                combo = jax.random.categorical(kc, logits)
+                kind = _COMBO_KIND[combo]
+                color = _COMBO_COLOR[combo]
+            else:
+                color = jnp.asarray(SORTED_COLOR_IDX)[randint(kc, 0, 6)].astype(jnp.uint8)
+                kind = KIND_TABLE[randint(kk, 0, 3)]
+            ri = randint(kri, 0, self.num_cols) if i is None else i
+            rj = randint(krj, 0, self.num_rows) if j is None else j
+            s, _, _, pos = self.add_object(kp, s, ri, rj, kind=kind, color=color)
+            kinds.append(kind)
+            colors.append(color)
+            positions.append(pos)
+        return s, jnp.stack(kinds), jnp.stack(colors), jnp.stack(positions)

@@ -6,9 +6,31 @@ from __future__ import annotations
 from minigrid_tpu.envs.crossing import CrossingEnv
 from minigrid_tpu.envs.distshift import DistShiftEnv
 from minigrid_tpu.envs.doorkey import DoorKeyEnv
+from minigrid_tpu.envs.dynamicobstacles import DynamicObstaclesEnv
 from minigrid_tpu.envs.empty import EmptyEnv
+from minigrid_tpu.envs.fetch import FetchEnv
 from minigrid_tpu.envs.fourrooms import FourRoomsEnv
+from minigrid_tpu.envs.gotodoor import GoToDoorEnv
+from minigrid_tpu.envs.gotoobject import GoToObjectEnv
 from minigrid_tpu.envs.lavagap import LavaGapEnv
+from minigrid_tpu.envs.memory import MemoryEnv
+from minigrid_tpu.envs.keycorridor import KeyCorridorEnv
+from minigrid_tpu.envs.lockedroom import LockedRoomEnv
+from minigrid_tpu.envs.multiroom import MultiRoomEnv
+from minigrid_tpu.envs.obstructedmaze import (
+    ObstructedMaze_1Dlhb,
+    ObstructedMaze_Full,
+    ObstructedMaze_Full_V1,
+    ObstructedMazeEnv,
+)
+from minigrid_tpu.envs.playground import PlaygroundEnv
+from minigrid_tpu.envs.putnear import PutNearEnv
+from minigrid_tpu.envs.redbluedoors import RedBlueDoorEnv
+from minigrid_tpu.envs.unlock import (
+    BlockedUnlockPickupEnv,
+    UnlockEnv,
+    UnlockPickupEnv,
+)
 from minigrid_tpu.registry import register
 
 # -- Empty (reference: minigrid/__init__.py:117-160) --
@@ -59,11 +81,134 @@ register(
     CrossingEnv, size=11, num_crossings=5, obstacle_type="wall",
 )
 
+# -- Dynamic-Obstacles (reference: minigrid/__init__.py:131-160) --
+register("MiniGrid-Dynamic-Obstacles-5x5-v0", DynamicObstaclesEnv, size=5, n_obstacles=2)
+register(
+    "MiniGrid-Dynamic-Obstacles-Random-5x5-v0",
+    DynamicObstaclesEnv, size=5, agent_start_pos=None, n_obstacles=2,
+)
+register("MiniGrid-Dynamic-Obstacles-6x6-v0", DynamicObstaclesEnv, size=6, n_obstacles=3)
+register(
+    "MiniGrid-Dynamic-Obstacles-Random-6x6-v0",
+    DynamicObstaclesEnv, size=6, agent_start_pos=None, n_obstacles=3,
+)
+register("MiniGrid-Dynamic-Obstacles-8x8-v0", DynamicObstaclesEnv)
+register("MiniGrid-Dynamic-Obstacles-16x16-v0", DynamicObstaclesEnv, size=16, n_obstacles=8)
+
+# -- Fetch (reference: minigrid/__init__.py:207-219) --
+register("MiniGrid-Fetch-5x5-N2-v0", FetchEnv, size=5, numObjs=2)
+register("MiniGrid-Fetch-6x6-N2-v0", FetchEnv, size=6, numObjs=2)
+register("MiniGrid-Fetch-8x8-N3-v0", FetchEnv)
+
+# -- GoToDoor (reference: minigrid/__init__.py:232-247) --
+register("MiniGrid-GoToDoor-5x5-v0", GoToDoorEnv)
+register("MiniGrid-GoToDoor-6x6-v0", GoToDoorEnv, size=6)
+register("MiniGrid-GoToDoor-8x8-v0", GoToDoorEnv, size=8)
+
+# -- GoToObject (reference: minigrid/__init__.py:252-261) --
+register("MiniGrid-GoToObject-6x6-N2-v0", GoToObjectEnv)
+register("MiniGrid-GoToObject-8x8-N2-v0", GoToObjectEnv, size=8, numObjs=2)
+
+# -- Memory (reference: minigrid/__init__.py:334-369) --
+register("MiniGrid-MemoryS17Random-v0", MemoryEnv, size=17, random_length=True)
+register("MiniGrid-MemoryS13Random-v0", MemoryEnv, size=13, random_length=True)
+register("MiniGrid-MemoryS13-v0", MemoryEnv, size=13)
+register("MiniGrid-MemoryS11-v0", MemoryEnv, size=11)
+register("MiniGrid-MemoryS9-v0", MemoryEnv, size=9)
+register("MiniGrid-MemoryS7-v0", MemoryEnv, size=7)
+
+# -- KeyCorridor (reference: minigrid/__init__.py:266-302) --
+register("MiniGrid-KeyCorridorS3R1-v0", KeyCorridorEnv, room_size=3, num_rows=1)
+register("MiniGrid-KeyCorridorS3R2-v0", KeyCorridorEnv, room_size=3, num_rows=2)
+register("MiniGrid-KeyCorridorS3R3-v0", KeyCorridorEnv, room_size=3, num_rows=3)
+register("MiniGrid-KeyCorridorS4R3-v0", KeyCorridorEnv, room_size=4, num_rows=3)
+register("MiniGrid-KeyCorridorS5R3-v0", KeyCorridorEnv, room_size=5, num_rows=3)
+register("MiniGrid-KeyCorridorS6R3-v0", KeyCorridorEnv, room_size=6, num_rows=3)
+
+# -- LockedRoom (reference: minigrid/__init__.py:326-331) --
+register("MiniGrid-LockedRoom-v0", LockedRoomEnv)
+
+# -- MultiRoom (reference: minigrid/__init__.py:373-390; kwargs as in this fork) --
+register("MiniGrid-MultiRoom-N2-S4-v0", MultiRoomEnv, minNumRooms=2, maxNumRooms=2, maxRoomSize=4)
+register("MiniGrid-MultiRoom-N4-S5-v0", MultiRoomEnv, minNumRooms=6, maxNumRooms=6, maxRoomSize=5)
+register("MiniGrid-MultiRoom-N6-v0", MultiRoomEnv, minNumRooms=6, maxNumRooms=6)
+
+# -- ObstructedMaze v0 (reference: minigrid/__init__.py:394-475) --
+register("MiniGrid-ObstructedMaze-1Dl-v0", ObstructedMaze_1Dlhb, key_in_box=False, blocked=False)
+register("MiniGrid-ObstructedMaze-1Dlh-v0", ObstructedMaze_1Dlhb, key_in_box=True, blocked=False)
+register("MiniGrid-ObstructedMaze-1Dlhb-v0", ObstructedMaze_1Dlhb)
+register(
+    "MiniGrid-ObstructedMaze-2Dl-v0", ObstructedMaze_Full,
+    agent_room=(2, 1), key_in_box=False, blocked=False, num_quarters=1, num_rooms_visited=4,
+)
+register(
+    "MiniGrid-ObstructedMaze-2Dlh-v0", ObstructedMaze_Full,
+    agent_room=(2, 1), key_in_box=True, blocked=False, num_quarters=1, num_rooms_visited=4,
+)
+register(
+    "MiniGrid-ObstructedMaze-2Dlhb-v0", ObstructedMaze_Full,
+    agent_room=(2, 1), key_in_box=True, blocked=True, num_quarters=1, num_rooms_visited=4,
+)
+register(
+    "MiniGrid-ObstructedMaze-1Q-v0", ObstructedMaze_Full,
+    agent_room=(1, 1), key_in_box=True, blocked=True, num_quarters=1, num_rooms_visited=5,
+)
+register(
+    "MiniGrid-ObstructedMaze-2Q-v0", ObstructedMaze_Full,
+    agent_room=(2, 1), key_in_box=True, blocked=True, num_quarters=2, num_rooms_visited=11,
+)
+register("MiniGrid-ObstructedMaze-Full-v0", ObstructedMaze_Full)
+
+# -- ObstructedMaze v1 (reference: minigrid/__init__.py:479-519) --
+register(
+    "MiniGrid-ObstructedMaze-2Dlhb-v1", ObstructedMaze_Full_V1,
+    agent_room=(2, 1), key_in_box=True, blocked=True, num_quarters=1, num_rooms_visited=4,
+)
+register(
+    "MiniGrid-ObstructedMaze-1Q-v1", ObstructedMaze_Full_V1,
+    agent_room=(1, 1), key_in_box=True, blocked=True, num_quarters=1, num_rooms_visited=5,
+)
+register(
+    "MiniGrid-ObstructedMaze-2Q-v1", ObstructedMaze_Full_V1,
+    agent_room=(2, 1), key_in_box=True, blocked=True, num_quarters=2, num_rooms_visited=11,
+)
+register("MiniGrid-ObstructedMaze-Full-v1", ObstructedMaze_Full_V1)
+
+# -- Playground (reference: minigrid/__init__.py:523-528) --
+register("MiniGrid-Playground-v0", PlaygroundEnv)
+
+# -- Unlock family (reference: minigrid/__init__.py:28-33,559-569) --
+register("MiniGrid-Unlock-v0", UnlockEnv)
+register("MiniGrid-UnlockPickup-v0", UnlockPickupEnv)
+register("MiniGrid-BlockedUnlockPickup-v0", BlockedUnlockPickupEnv)
+
+# -- PutNear (reference: minigrid/__init__.py:531-541) --
+register("MiniGrid-PutNear-6x6-N2-v0", PutNearEnv)
+register("MiniGrid-PutNear-8x8-N3-v0", PutNearEnv, size=8, numObjs=3)
+
+# -- RedBlueDoors (reference: minigrid/__init__.py:545-555) --
+register("MiniGrid-RedBlueDoors-6x6-v0", RedBlueDoorEnv, size=6)
+register("MiniGrid-RedBlueDoors-8x8-v0", RedBlueDoorEnv)
+
 __all__ = [
+    "BlockedUnlockPickupEnv",
     "CrossingEnv",
     "DistShiftEnv",
     "DoorKeyEnv",
+    "DynamicObstaclesEnv",
     "EmptyEnv",
+    "FetchEnv",
     "FourRoomsEnv",
+    "GoToDoorEnv",
+    "GoToObjectEnv",
+    "KeyCorridorEnv",
     "LavaGapEnv",
+    "LockedRoomEnv",
+    "MemoryEnv",
+    "MultiRoomEnv",
+    "PlaygroundEnv",
+    "PutNearEnv",
+    "RedBlueDoorEnv",
+    "UnlockEnv",
+    "UnlockPickupEnv",
 ]

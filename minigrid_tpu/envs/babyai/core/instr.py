@@ -1,0 +1,382 @@
+"""Device-side BabyAI instruction encoding + verifier.
+
+The reference verifier is an object graph of ``Instr`` subclasses holding
+Python sets of object identities (reference: minigrid/envs/babyai/core/
+verifier.py:49-566).  Here an instruction is a fixed-slot pytree:
+
+* at most 4 leaf action instructions (slots a1, a2, b1, b2), covering every
+  shape the grammar produces — Action, And(a1,a2), Before/After(x, y) with
+  x/y either Action or And;
+* each leaf has up to 2 object descriptors (PutNext uses both);
+* object identity tracking (the reference's ``obj_set``/``obj_poss``,
+  verifier.py:104-169) becomes per-descriptor boolean planes: ``gridm`` marks
+  cells currently holding a tracked object, ``poss`` is the verifier-visible
+  position set (updated only on drop actions, mirroring
+  roomgrid_level.py:89-91), and ``carried`` flags a tracked object in hand.
+
+Statuses: 0 continue, 1 success, 2 failure.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from minigrid_tpu.core.actions import Actions
+from minigrid_tpu.core.constants import (
+    DIR_TO_VEC,
+    OBJ_BOX,
+    OBJ_DOOR,
+    STATE_OPEN,
+)
+
+# Leaf kinds
+LEAF_NONE = -1
+LEAF_OPEN = 0
+LEAF_GOTO = 1
+LEAF_PICKUP = 2
+LEAF_PUTNEXT = 3
+
+# Top-level structure kinds
+TOP_ACTION = 0
+TOP_AND = 1
+TOP_BEFORE = 2
+TOP_AFTER = 3
+
+S_CONTINUE = 0
+S_SUCCESS = 1
+S_FAILURE = 2
+
+# Location vocabulary (reference verifier.py:21)
+LOC_LEFT, LOC_RIGHT, LOC_FRONT, LOC_BEHIND = 0, 1, 2, 3
+
+
+@struct.dataclass
+class InstrState:
+    # -- static description (per episode) --
+    top_kind: jnp.ndarray  # i32[]
+    a_is_and: jnp.ndarray  # bool[]
+    b_is_and: jnp.ndarray  # bool[]
+    strict: jnp.ndarray  # bool[] (seq-level strict)
+    leaf_kind: jnp.ndarray  # i32[4]
+    leaf_strict: jnp.ndarray  # bool[4]
+    d_type: jnp.ndarray  # i32[4, 2] (-1 none)
+    d_color: jnp.ndarray  # i32[4, 2] (-1 none)
+    d_loc: jnp.ndarray  # i32[4, 2] (-1 none)
+    d_plural: jnp.ndarray  # bool[4, 2] (|obj_set| > 1 at reset, for surface text)
+    # -- tracking state --
+    poss: jnp.ndarray  # bool[4, 2, W, H]
+    gridm: jnp.ndarray  # bool[4, 2, W, H]
+    carried: jnp.ndarray  # bool[4, 2]
+    # -- per-leaf verifier memory (the reference's preCarrying, updated only
+    #    when the leaf's verify is *called*) --
+    pre_none: jnp.ndarray  # bool[4]
+    pre_move_tracked: jnp.ndarray  # bool[4]
+    # -- combinator state --
+    a_succ: jnp.ndarray  # bool[]
+    b_succ: jnp.ndarray  # bool[]
+    sub_succ: jnp.ndarray  # bool[4] (sticky per-leaf success inside And sides)
+
+
+def empty_instr(width: int, height: int) -> InstrState:
+    return InstrState(
+        top_kind=jnp.int32(TOP_ACTION),
+        a_is_and=jnp.asarray(False),
+        b_is_and=jnp.asarray(False),
+        strict=jnp.asarray(False),
+        leaf_kind=jnp.full((4,), LEAF_NONE, jnp.int32),
+        leaf_strict=jnp.zeros((4,), bool),
+        d_type=jnp.full((4, 2), -1, jnp.int32),
+        d_color=jnp.full((4, 2), -1, jnp.int32),
+        d_loc=jnp.full((4, 2), -1, jnp.int32),
+        d_plural=jnp.zeros((4, 2), bool),
+        poss=jnp.zeros((4, 2, width, height), bool),
+        gridm=jnp.zeros((4, 2, width, height), bool),
+        carried=jnp.zeros((4, 2), bool),
+        pre_none=jnp.ones((4,), bool),
+        pre_move_tracked=jnp.zeros((4,), bool),
+        a_succ=jnp.asarray(False),
+        b_succ=jnp.asarray(False),
+        sub_succ=jnp.zeros((4,), bool),
+    )
+
+
+def desc_match_mask(
+    grid: jnp.ndarray,
+    d_type,
+    d_color,
+    d_loc,
+    agent_pos,
+    agent_dir,
+    agent_room_mask: jnp.ndarray | None,
+) -> jnp.ndarray:
+    """Initial ``find_matching_objs`` (reference verifier.py:104-169): cells
+    whose object matches (type, color) and, if a location is given, the
+    direction predicate relative to the agent's start pose, restricted to the
+    agent's start room."""
+    w, h = grid.shape[:2]
+    t = grid[:, :, 0].astype(jnp.int32)
+    c = grid[:, :, 1].astype(jnp.int32)
+    # The reference iterates every non-None cell (verifier.py:120-124);
+    # level grammars only ever describe box/ball/key/door, but we keep the
+    # same candidate set for faithfulness.
+    m = t >= 2
+    m = m & jnp.where(d_type >= 0, t == d_type, True)
+    m = m & jnp.where(d_color >= 0, c == d_color, True)
+
+    xs = jnp.arange(w)[:, None]
+    ys = jnp.arange(h)[None, :]
+    vx = xs - agent_pos[0]
+    vy = ys - agent_pos[1]
+    d1 = DIR_TO_VEC[agent_dir]
+    # d2 = right vector basis used by the reference (verifier.py:150-152)
+    d2x, d2y = -d1[1], d1[0]
+    dot1 = vx * d1[0] + vy * d1[1]
+    dot2 = vx * d2x + vy * d2y
+    loc_ok = jnp.where(
+        d_loc == LOC_LEFT, dot2 < 0,
+        jnp.where(
+            d_loc == LOC_RIGHT, dot2 > 0,
+            jnp.where(d_loc == LOC_FRONT, dot1 > 0, dot1 < 0),
+        ),
+    )
+    if agent_room_mask is not None:
+        loc_ok = loc_ok & agent_room_mask
+    m = m & jnp.where(d_loc >= 0, loc_ok, True)
+    return m
+
+
+def _dilate4(m: jnp.ndarray) -> jnp.ndarray:
+    return (
+        jnp.pad(m, ((1, 1), (1, 1)))[2:, 1:-1]
+        | jnp.pad(m, ((1, 1), (1, 1)))[:-2, 1:-1]
+        | jnp.pad(m, ((1, 1), (1, 1)))[1:-1, 2:]
+        | jnp.pad(m, ((1, 1), (1, 1)))[1:-1, :-2]
+    )
+
+
+def _leaf_statuses(instr: InstrState, prev_state, state, action):
+    """Candidate status of each leaf given its stored memory (pure)."""
+    w, h = state.grid.shape[:2]
+    a = jnp.asarray(action, jnp.int32)
+    fwd_prev = prev_state.agent_pos + DIR_TO_VEC[prev_state.agent_dir]
+    fwd_prev = jnp.stack(
+        [jnp.clip(fwd_prev[0], 0, w - 1), jnp.clip(fwd_prev[1], 0, h - 1)]
+    )
+    fwd_now = state.agent_pos + DIR_TO_VEC[state.agent_dir]
+    fwd_now = jnp.stack(
+        [jnp.clip(fwd_now[0], 0, w - 1), jnp.clip(fwd_now[1], 0, h - 1)]
+    )
+    fcell_now = state.grid[fwd_now[0], fwd_now[1]]
+    carrying_now = state.carrying[0] != 0
+    dropped = (prev_state.carrying[0] != 0) & ~carrying_now
+
+    statuses = []
+    for leaf in range(4):
+        kind = instr.leaf_kind[leaf]
+        strict = instr.leaf_strict[leaf]
+        # OPEN (verifier.py:268-285): toggle onto a tracked, now-open door.
+        open_succ = (
+            (a == Actions.toggle)
+            & instr.gridm[leaf, 0, fwd_prev[0], fwd_prev[1]]
+            & (fcell_now[0] == OBJ_DOOR)
+            & (fcell_now[2] == STATE_OPEN)
+        )
+        open_fail = (
+            strict & (a == Actions.toggle) & (fcell_now[0] == OBJ_DOOR) & ~open_succ
+        )
+        # GOTO (verifier.py:307-314): facing a tracked position.
+        goto_succ = instr.poss[leaf, 0, fwd_now[0], fwd_now[1]]
+        # PICKUP (verifier.py:341-361).
+        pickup_succ = (
+            (a == Actions.pickup) & instr.pre_none[leaf] & instr.carried[leaf, 0]
+        )
+        pickup_fail = strict & (a == Actions.pickup) & carrying_now & ~pickup_succ
+        # PUTNEXT (verifier.py:409-433): successful drop of a tracked move
+        # object next to a tracked fixed position (poss updated pre-verify).
+        near_fixed = _dilate4(instr.poss[leaf, 1])[fwd_now[0], fwd_now[1]]
+        put_succ = (
+            (a == Actions.drop) & dropped & instr.pre_move_tracked[leaf] & near_fixed
+        )
+        put_fail = strict & (a == Actions.pickup) & carrying_now
+
+        succ = jnp.where(
+            kind == LEAF_OPEN, open_succ,
+            jnp.where(
+                kind == LEAF_GOTO, goto_succ,
+                jnp.where(kind == LEAF_PICKUP, pickup_succ, put_succ),
+            ),
+        )
+        fail = jnp.where(
+            kind == LEAF_OPEN, open_fail,
+            jnp.where(
+                kind == LEAF_GOTO, False,
+                jnp.where(kind == LEAF_PICKUP, pickup_fail, put_fail),
+            ),
+        ) & ~succ
+        status = jnp.where(succ, S_SUCCESS, jnp.where(fail, S_FAILURE, S_CONTINUE))
+        statuses.append(jnp.where(kind == LEAF_NONE, S_CONTINUE, status))
+    return jnp.stack(statuses)
+
+
+def _side_status(instr, leaf_status, side_is_and, i0, i1, side_succ_prior):
+    """Status of one seq side (a leaf or an And of two leaves).
+
+    For an And, leaf stickies gate which leaves are 'called'; failures are
+    swallowed (reference AndInstr.verify, verifier.py:552-566)."""
+    s0 = jnp.where(instr.sub_succ[i0], S_SUCCESS, leaf_status[i0])
+    s1 = jnp.where(instr.sub_succ[i1], S_SUCCESS, leaf_status[i1])
+    and_status = jnp.where(
+        (s0 == S_SUCCESS) & (s1 == S_SUCCESS), S_SUCCESS, S_CONTINUE
+    )
+    single = jnp.where(side_succ_prior, S_SUCCESS, leaf_status[i0])
+    return jnp.where(side_is_and, and_status, single)
+
+
+def verify_step(instr: InstrState, prev_state, state, action):
+    """Run bookkeeping + one verifier tick.
+
+    Mirrors RoomGridLevel.step (roomgrid_level.py:86-103): object-position
+    bookkeeping, poss refresh on drop, then the instruction state machine.
+    Returns (instr', status) with status in {continue, success, failure}.
+    """
+    w, h = state.grid.shape[:2]
+    a = jnp.asarray(action, jnp.int32)
+    fwd = prev_state.agent_pos + DIR_TO_VEC[prev_state.agent_dir]
+    fx = jnp.clip(fwd[0], 0, w - 1)
+    fy = jnp.clip(fwd[1], 0, h - 1)
+
+    picked = (prev_state.carrying[0] == 0) & (state.carrying[0] != 0)
+    dropped = (prev_state.carrying[0] != 0) & (state.carrying[0] == 0)
+    prev_fcell = prev_state.grid[fx, fy]
+    now_fcell = state.grid[fx, fy]
+    box_consumed = (
+        (a == Actions.toggle) & (prev_fcell[0] == OBJ_BOX) & (now_fcell[0] != OBJ_BOX)
+    )
+
+    gridm = instr.gridm
+    carried = instr.carried
+    at_fwd = gridm[:, :, fx, fy]  # [4, 2]
+    # pickup: a tracked object leaves the grid into the hand.
+    carried = jnp.where(picked, carried | at_fwd, carried)
+    gridm = jnp.where(picked, gridm.at[:, :, fx, fy].set(False), gridm)
+    # drop: the held tracked object reappears at fwd.
+    gridm = jnp.where(
+        dropped & carried[:, :, None, None],
+        gridm.at[:, :, fx, fy].set(True),
+        gridm,
+    )
+    carried = jnp.where(dropped, jnp.zeros_like(carried), carried)
+    # box reveal destroys the tracked box object (contents are new objects).
+    gridm = jnp.where(box_consumed, gridm.at[:, :, fx, fy].set(False), gridm)
+
+    # update_objs_poss on drop ACTION (roomgrid_level.py:89-91) — refreshes
+    # obj_poss to the tracked objects currently in the grid.
+    poss = jnp.where(a == Actions.drop, gridm, instr.poss)
+
+    instr = instr.replace(gridm=gridm, carried=carried, poss=poss)
+
+    leaf_status = _leaf_statuses(instr, prev_state, state, action)
+
+    top = instr.top_kind
+    # -- which leaves does the reference call this step? --
+    a_prior = instr.a_succ
+    b_prior = instr.b_succ
+    a_status = _side_status(instr, leaf_status, instr.a_is_and, 0, 1, a_prior)
+    b_status = _side_status(instr, leaf_status, instr.b_is_and, 2, 3, b_prior)
+
+    is_action = top == TOP_ACTION
+    is_and = top == TOP_AND
+    is_before = top == TOP_BEFORE
+    is_after = top == TOP_AFTER
+
+    # BEFORE (verifier.py:465-487): a first; on a's success the same action
+    # also drives b (the recursive re-verify).
+    bef_status = jnp.where(
+        a_prior | (a_status == S_SUCCESS),
+        jnp.where(
+            b_status == S_FAILURE, S_FAILURE,
+            jnp.where(b_status == S_SUCCESS, S_SUCCESS, S_CONTINUE),
+        ),
+        jnp.where(
+            a_status == S_FAILURE,
+            S_FAILURE,
+            jnp.where(instr.strict & (b_status == S_SUCCESS), S_FAILURE, S_CONTINUE),
+        ),
+    )
+    aft_status = jnp.where(
+        b_prior | (b_status == S_SUCCESS),
+        jnp.where(
+            a_status == S_FAILURE, S_FAILURE,
+            jnp.where(a_status == S_SUCCESS, S_SUCCESS, S_CONTINUE),
+        ),
+        jnp.where(
+            b_status == S_FAILURE,
+            S_FAILURE,
+            jnp.where(instr.strict & (a_status == S_SUCCESS), S_FAILURE, S_CONTINUE),
+        ),
+    )
+    # TOP_AND uses slots 0/1 as its two ActionInstrs.
+    top_and_status = _side_status(
+        instr, leaf_status, jnp.asarray(True), 0, 1, jnp.asarray(False)
+    )
+    single_status = leaf_status[0]
+
+    status = jnp.where(
+        is_action, single_status,
+        jnp.where(is_and, top_and_status, jnp.where(is_before, bef_status, aft_status)),
+    )
+
+    # -- called mask (gates per-leaf memory + sticky updates) --
+    a_called = jnp.where(
+        is_action | is_and, True,
+        jnp.where(is_before, ~a_prior, b_prior | (b_status == S_SUCCESS) | instr.strict),
+    )
+    b_called = jnp.where(
+        is_action, False,
+        jnp.where(
+            is_and, True,
+            jnp.where(
+                is_before,
+                a_prior | (a_status == S_SUCCESS) | instr.strict,
+                ~b_prior,
+            ),
+        ),
+    )
+    called = jnp.stack(
+        [
+            a_called & ~instr.sub_succ[0],
+            a_called & instr.a_is_and & ~instr.sub_succ[1],
+            b_called & ~instr.sub_succ[2],
+            b_called & instr.b_is_and & ~instr.sub_succ[3],
+        ]
+    )
+    # Non-And sides have no per-leaf sticky in the reference (the side status
+    # itself is sticky via a_succ/b_succ); calling is still gated identically.
+
+    # Per-leaf memory updates where called (verifier.py:343-344, :411-412).
+    carrying_now_none = state.carrying[0] == 0
+    pre_none = jnp.where(called, carrying_now_none, instr.pre_none)
+    pre_move_tracked = jnp.where(called, instr.carried[:, 0], instr.pre_move_tracked)
+
+    sub_succ = instr.sub_succ | (called & (leaf_status == S_SUCCESS))
+    a_succ = instr.a_succ | ((is_before | is_after) & (a_status == S_SUCCESS))
+    b_succ = instr.b_succ | ((is_before | is_after) & (b_status == S_SUCCESS))
+
+    instr = instr.replace(
+        pre_none=pre_none,
+        pre_move_tracked=pre_move_tracked,
+        sub_succ=sub_succ,
+        a_succ=a_succ,
+        b_succ=b_succ,
+    )
+    return instr, status
+
+
+def num_navs(instr: InstrState) -> jnp.ndarray:
+    """Navigation count for the dynamic step limit
+    (reference roomgrid_level.py:215-235): putnext counts 2, other leaves 1."""
+    active = instr.leaf_kind >= 0
+    per_leaf = jnp.where(instr.leaf_kind == LEAF_PUTNEXT, 2, 1)
+    return (per_leaf * active).sum()

@@ -1,0 +1,201 @@
+"""BabyAI level base (reference: minigrid/envs/babyai/core/roomgrid_level.py).
+
+A level's ``gen_attempt(key) -> (RoomGridState, InstrState, valid)`` plays the
+role of ``gen_mission``; the base class wraps it in the reference's
+rejection-resampling loop (roomgrid_level.py:118-139) as a bounded
+``while_loop`` re-drawing keys, runs the shared instruction validation
+(:145-198), recomputes the dynamic step limit (:70-84), and drives the
+verifier state machine in ``_post_step`` (:86-103).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from minigrid_tpu.core.constants import (
+    OBJ_DOOR,
+    OBJ_EMPTY,
+    OBJ_KEY,
+    OBJ_WALL,
+    STATE_LOCKED,
+)
+from minigrid_tpu.core.env import success_reward
+from minigrid_tpu.core.roomgrid import RoomGridState
+from minigrid_tpu.core.state import EnvState, new_state
+from minigrid_tpu.envs.babyai.core.instr import (
+    LEAF_PUTNEXT,
+    S_FAILURE,
+    S_SUCCESS,
+    InstrState,
+    num_navs,
+    verify_step,
+)
+from minigrid_tpu.envs.babyai.core.text import encode_babyai_mission, babyai_mission_text
+from minigrid_tpu.envs.unlock import RoomGridEnvBase
+
+
+def _dilate4(m):
+    p = jnp.pad(m, 1)
+    return p[2:, 1:-1] | p[:-2, 1:-1] | p[1:-1, 2:] | p[1:-1, :-2]
+
+
+class RoomGridLevel(RoomGridEnvBase):
+    """Base for BabyAI levels."""
+
+    # Level-family flags (reference levels set these as attributes).
+    unblocking = False
+
+    def __init__(
+        self,
+        room_size: int = 8,
+        num_rows: int = 3,
+        num_cols: int = 3,
+        max_steps: int | None = None,
+        max_gen_attempts: int = 200,
+        **kwargs,
+    ):
+        self.fixed_max_steps = max_steps is not None
+        super().__init__(
+            room_size,
+            num_rows,
+            num_cols,
+            max_steps if max_steps is not None else 0,
+            **kwargs,
+        )
+        self.max_gen_attempts = max_gen_attempts
+
+    # -- to be provided by level families ------------------------------------
+    def gen_attempt(self, key: jax.Array):
+        """One mission-generation attempt.
+
+        Returns (RoomGridState, InstrState, valid: bool[]).  ``valid`` folds
+        in any level-specific rejection conditions; the base adds the shared
+        instruction validation.
+        """
+        raise NotImplementedError
+
+    # -- shared validation (reference roomgrid_level.py:145-198) -------------
+    def _validate(self, s: RoomGridState, instr: InstrState) -> jnp.ndarray:
+        grid = s.grid
+        ok = jnp.asarray(True)
+
+        # PutNext checks (:159-176): descriptor sets must not intersect and
+        # must not already be adjacent.
+        for leaf in range(4):
+            is_put = instr.leaf_kind[leaf] == LEAF_PUTNEXT
+            move = instr.gridm[leaf, 0]
+            fixed = instr.gridm[leaf, 1]
+            intersects = (move & fixed).any()
+            already_next = (_dilate4(fixed) & move).any()
+            ok &= ~(is_put & (intersects | already_next))
+
+        # Every active descriptor must match at least one object (the
+        # reference asserts this when generating the surface string).
+        for leaf in range(4):
+            active = instr.leaf_kind[leaf] >= 0
+            has0 = instr.gridm[leaf, 0].any()
+            is_put = instr.leaf_kind[leaf] == LEAF_PUTNEXT
+            has1 = instr.gridm[leaf, 1].any()
+            ok &= ~active | (has0 & (~is_put | has1))
+
+        if self.unblocking:
+            # No instruction may reference a key whose color matches a locked
+            # door (:149-191).
+            t = grid[:, :, 0]
+            locked_door = (t == OBJ_DOOR) & (grid[:, :, 2] == STATE_LOCKED)
+            locked_colors = jnp.zeros((6,), bool)
+            for c in range(6):
+                locked_colors = locked_colors.at[c].set(
+                    (locked_door & (grid[:, :, 1] == c)).any()
+                )
+            for leaf in range(4):
+                for d in range(2):
+                    refs_key = instr.d_type[leaf, d] == OBJ_KEY
+                    col = jnp.clip(instr.d_color[leaf, d], 0, 5)
+                    # color None (-1): any key color matching any locked door
+                    # color would still pass the reference check (it compares
+                    # the desc's color attribute, None != color strings).
+                    bad = refs_key & (instr.d_color[leaf, d] >= 0) & locked_colors[col]
+                    active = instr.leaf_kind[leaf] >= 0
+                    ok &= ~(active & bad)
+        return ok
+
+    def check_objs_reachable(self, s: RoomGridState) -> jnp.ndarray:
+        """All objects reachable without moving anything
+        (reference roomgrid_level.py:249-301)."""
+        grid = s.grid
+        w, h = grid.shape[:2]
+        t = grid[:, :, 0]
+        passable = (t == OBJ_EMPTY) | (t == OBJ_DOOR)
+        xs = jnp.arange(w)[:, None]
+        ys = jnp.arange(h)[None, :]
+        start = (xs == s.agent_pos[0]) & (ys == s.agent_pos[1])
+
+        def body(_, reach):
+            frontier = reach & (passable | start)
+            return reach | _dilate4(frontier)
+
+        reach = jax.lax.fori_loop(0, (w * h) // 2 + 2, body, start)
+        objects = (t != OBJ_EMPTY) & (t != OBJ_WALL)
+        return (~objects | reach).all()
+
+    # -- generation with rejection resampling ----------------------------------
+    def _generate(self, key: jax.Array) -> EnvState:
+        def attempt(k):
+            s, instr, valid = self.gen_attempt(k)
+            valid &= self._validate(s, instr)
+            return s, instr, valid
+
+        k0, kl = jax.random.split(key)
+        s0, i0, v0 = attempt(k0)
+
+        def cond(carry):
+            _, _, valid, _, itr = carry
+            return (~valid) & (itr < self.max_gen_attempts)
+
+        def body(carry):
+            s, instr, _, k, itr = carry
+            k, ka = jax.random.split(k)
+            s2, i2, v2 = attempt(ka)
+            return s2, i2, v2, k, itr + 1
+
+        s, instr, _, kl, _ = jax.lax.while_loop(
+            cond, body, (s0, i0, v0, kl, jnp.int32(0))
+        )
+
+        # Dynamic step limit (reference roomgrid_level.py:76-83).
+        if self.fixed_max_steps:
+            max_steps = jnp.int32(self.max_steps)
+        else:
+            nav_time_maze = (
+                self.builder.room_size**2 * self.builder.num_rows * self.builder.num_cols
+            )
+            max_steps = num_navs(instr) * nav_time_maze
+
+        mission = encode_babyai_mission(instr)
+        return new_state(
+            grid=s.grid,
+            agent_pos=s.agent_pos,
+            agent_dir=s.agent_dir,
+            rng=jax.random.fold_in(kl, 7),
+            max_steps=max_steps,
+            mission=mission,
+            extra={"instr": instr},
+        )
+
+    # -- verifier hook -----------------------------------------------------------
+    def _post_step(self, prev_state, state, action, reward):
+        instr, status = verify_step(
+            state.extra["instr"], prev_state, state, action
+        )
+        reward = jnp.where(status == S_SUCCESS, success_reward(state), reward)
+        reward = jnp.where(status == S_FAILURE, 0.0, reward)
+        terminated = state.terminated | (status != 0)
+        return (
+            state.replace(terminated=terminated, extra={"instr": instr}),
+            reward,
+        )
+
+    def mission_text(self, mission) -> str:
+        return babyai_mission_text(mission)

@@ -1,0 +1,136 @@
+"""Unlock, UnlockPickup, BlockedUnlockPickup
+(reference: minigrid/envs/unlock.py, unlockpickup.py, blockedunlockpickup.py)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from minigrid_tpu.core import grid as g
+from minigrid_tpu.core.actions import Actions
+from minigrid_tpu.core.constants import (
+    OBJ_BALL,
+    OBJ_BOX,
+    OBJ_KEY,
+    SORTED_COLOR_IDX,
+    STATE_OPEN,
+)
+from minigrid_tpu.core.env import MiniGridEnv, success_reward
+from minigrid_tpu.core.mission import mission_vec, register_mission
+from minigrid_tpu.core.roomgrid import RoomGridBuilder
+from minigrid_tpu.core.sampling import randint
+from minigrid_tpu.core.state import EnvState, new_state
+
+_MISSION_OPEN = register_mission("open the door")
+_MISSION_PICKUP = register_mission("pick up the {0} {1}", ("color", "type"))
+
+
+class RoomGridEnvBase(MiniGridEnv):
+    """Shared plumbing for envs built on the RoomGrid lattice."""
+
+    def __init__(self, room_size: int, num_rows: int, num_cols: int, max_steps: int, **kwargs):
+        builder = RoomGridBuilder(room_size, num_rows, num_cols)
+        super().__init__(
+            width=builder.width,
+            height=builder.height,
+            max_steps=max_steps,
+            see_through_walls=False,
+            **kwargs,
+        )
+        self.builder = builder
+
+
+class UnlockEnv(RoomGridEnvBase):
+    """Two rooms, locked door + matching key; toggling the door open succeeds
+    (reference: minigrid/envs/unlock.py:76-97)."""
+
+    def __init__(self, max_steps: int | None = None, **kwargs):
+        room_size = 6
+        if max_steps is None:
+            max_steps = 8 * room_size**2
+        super().__init__(room_size, 1, 2, max_steps, **kwargs)
+
+    def _generate(self, key: jax.Array) -> EnvState:
+        b = self.builder
+        k_init, k_door, k_key, k_agent, k_carry = jax.random.split(key, 5)
+        s = b.init(k_init)
+        s, door_color, door_pos = b.add_door(k_door, s, 0, 0, 0, locked=True)
+        s, _, _, _ = b.add_object(k_key, s, 0, 0, kind=OBJ_KEY, color=door_color)
+        s = b.place_agent(k_agent, s, 0, 0)
+        return new_state(
+            grid=s.grid,
+            agent_pos=s.agent_pos,
+            agent_dir=s.agent_dir,
+            rng=k_carry,
+            max_steps=self.max_steps,
+            mission=mission_vec(_MISSION_OPEN),
+            extra={"door_pos": door_pos},
+        )
+
+    def _post_step(self, prev_state, state, action, reward):
+        dp = state.extra["door_pos"]
+        door_open = g.get_cell(state.grid, dp[0], dp[1])[2] == STATE_OPEN
+        success = (jnp.asarray(action, jnp.int32) == Actions.toggle) & door_open
+        reward = jnp.where(success, success_reward(state), reward)
+        return state.replace(terminated=state.terminated | success), reward
+
+    def mission_text(self, mission=None) -> str:
+        return "open the door"
+
+
+class UnlockPickupEnv(RoomGridEnvBase):
+    """Box behind a locked door; pick it up to succeed
+    (reference: minigrid/envs/unlockpickup.py:60-110)."""
+
+    blocked = False
+
+    def __init__(self, max_steps: int | None = None, **kwargs):
+        room_size = 6
+        if max_steps is None:
+            max_steps = (16 if self.blocked else 8) * room_size**2
+        super().__init__(room_size, 1, 2, max_steps, **kwargs)
+
+    def _generate(self, key: jax.Array) -> EnvState:
+        b = self.builder
+        k_box, k_door, k_ball, k_key, k_agent, k_carry = jax.random.split(key, 6)
+        s = b.init(jax.random.fold_in(key, 99))
+        s, _, box_color, _ = b.add_object(k_box, s, 1, 0, kind=OBJ_BOX)
+        s, door_color, door_pos = b.add_door(k_door, s, 0, 0, 0, locked=True)
+        if self.blocked:
+            # Ball directly left of the door (reference blockedunlockpickup.py:98-100).
+            ball_color = jnp.asarray(SORTED_COLOR_IDX)[randint(k_ball, 0, 6)].astype(jnp.uint8)
+            s = s.replace(
+                grid=g.set_cell(
+                    s.grid,
+                    door_pos[0] - 1,
+                    door_pos[1],
+                    jnp.stack([jnp.asarray(OBJ_BALL, jnp.uint8), ball_color, jnp.zeros((), jnp.uint8)]),
+                )
+            )
+        s, _, _, _ = b.add_object(k_key, s, 0, 0, kind=OBJ_KEY, color=door_color)
+        s = b.place_agent(k_agent, s, 0, 0)
+        return new_state(
+            grid=s.grid,
+            agent_pos=s.agent_pos,
+            agent_dir=s.agent_dir,
+            rng=k_carry,
+            max_steps=self.max_steps,
+            mission=mission_vec(_MISSION_PICKUP, box_color.astype(jnp.int32), OBJ_BOX),
+            extra={"target_color": box_color.astype(jnp.int32)},
+        )
+
+    def _post_step(self, prev_state, state, action, reward):
+        success = (
+            (jnp.asarray(action, jnp.int32) == Actions.pickup)
+            & (state.carrying[0] == OBJ_BOX)
+            & (state.carrying[1].astype(jnp.int32) == state.extra["target_color"])
+        )
+        reward = jnp.where(success, success_reward(state), reward)
+        return state.replace(terminated=state.terminated | success), reward
+
+
+class BlockedUnlockPickupEnv(UnlockPickupEnv):
+    """UnlockPickup with a ball blocking the door
+    (reference: minigrid/envs/blockedunlockpickup.py:66-120)."""
+
+    blocked = True

@@ -1,0 +1,47 @@
+"""RGB observation wrappers (reference: minigrid/wrappers.py:290-381)."""
+
+from __future__ import annotations
+
+from minigrid_tpu.render.frame import get_frame
+from minigrid_tpu.wrappers.base import Wrapper
+
+
+class RGBImgObsWrapper(Wrapper):
+    """Full-grid RGB render as the image observation
+    (reference: minigrid/wrappers.py:290-334)."""
+
+    def __init__(self, env, tile_size: int = 8, highlight: bool = True):
+        super().__init__(env)
+        self.tile_size = tile_size
+        self.highlight = highlight
+
+    def observation(self, state):
+        o = self.env.observation(state)
+        img = get_frame(
+            state,
+            self.unwrapped.agent_view_size,
+            self.unwrapped.see_through_walls,
+            highlight=self.highlight,
+            tile_size=self.tile_size,
+        )
+        return {**o, "image": img}
+
+
+class RGBImgPartialObsWrapper(Wrapper):
+    """Agent-POV RGB render as the image observation
+    (reference: minigrid/wrappers.py:337-381)."""
+
+    def __init__(self, env, tile_size: int = 8):
+        super().__init__(env)
+        self.tile_size = tile_size
+
+    def observation(self, state):
+        o = self.env.observation(state)
+        img = get_frame(
+            state,
+            self.unwrapped.agent_view_size,
+            self.unwrapped.see_through_walls,
+            tile_size=self.tile_size,
+            agent_pov=True,
+        )
+        return {**o, "image": img}

@@ -50,11 +50,14 @@ def test_generate_invariants(env_id):
     pos = np.asarray(states.agent_pos)
     dirs = np.asarray(states.agent_dir)
 
-    # Boundary is fully walled in every classic env.
-    assert (grids[:, 0, :, 0] == OBJ_WALL).all()
-    assert (grids[:, -1, :, 0] == OBJ_WALL).all()
-    assert (grids[:, :, 0, 0] == OBJ_WALL).all()
-    assert (grids[:, :, -1, 0] == OBJ_WALL).all()
+    # Boundary is fully walled in every classic env (exceptions: GoToDoor
+    # shrinks the room inside the grid, reference minigrid/envs/gotodoor.py:96-100;
+    # MultiRoom only outlines its room chain, multiroom.py:146-160).
+    if "GoToDoor" not in env_id and "MultiRoom" not in env_id:
+        assert (grids[:, 0, :, 0] == OBJ_WALL).all()
+        assert (grids[:, -1, :, 0] == OBJ_WALL).all()
+        assert (grids[:, :, 0, 0] == OBJ_WALL).all()
+        assert (grids[:, :, -1, 0] == OBJ_WALL).all()
 
     # Cell vocabulary is valid (no "unseen"/"agent" markers in world grids).
     assert grids[..., 0].min() >= OBJ_EMPTY
@@ -120,7 +123,38 @@ def test_truncation_and_autoreset(env_id):
     assert int(state.step_count) == 0
 
 
-@pytest.mark.parametrize("env_id", ALL_IDS)
+# One representative per family — the rollout scan recompiles the full
+# generate+step graph per id, so the smoke test covers families, while the
+# cheaper reset-only tests above sweep every registered id.
+FAMILY_REPS = [
+    "MiniGrid-Empty-8x8-v0",
+    "MiniGrid-Empty-Random-5x5-v0",
+    "MiniGrid-DoorKey-8x8-v0",
+    "MiniGrid-FourRooms-v0",
+    "MiniGrid-DistShift1-v0",
+    "MiniGrid-LavaGapS7-v0",
+    "MiniGrid-LavaCrossingS9N2-v0",
+    "MiniGrid-SimpleCrossingS11N5-v0",
+    "MiniGrid-Dynamic-Obstacles-8x8-v0",
+    "MiniGrid-Fetch-8x8-N3-v0",
+    "MiniGrid-GoToDoor-8x8-v0",
+    "MiniGrid-GoToObject-8x8-N2-v0",
+    "MiniGrid-MemoryS13Random-v0",
+    "MiniGrid-PutNear-8x8-N3-v0",
+    "MiniGrid-RedBlueDoors-8x8-v0",
+    "MiniGrid-Unlock-v0",
+    "MiniGrid-UnlockPickup-v0",
+    "MiniGrid-BlockedUnlockPickup-v0",
+    "MiniGrid-KeyCorridorS3R3-v0",
+    "MiniGrid-LockedRoom-v0",
+    "MiniGrid-MultiRoom-N2-S4-v0",
+    "MiniGrid-Playground-v0",
+    "MiniGrid-ObstructedMaze-1Dlhb-v0",
+    "MiniGrid-ObstructedMaze-2Dlhb-v1",
+]
+
+
+@pytest.mark.parametrize("env_id", FAMILY_REPS)
 def test_rollout_smoke(env_id):
     from minigrid_tpu.parallel.vector import rollout_random
 

@@ -34,6 +34,65 @@ STEP_ENVS = [
     ("MiniGrid-Empty-Random-6x6-v0", 3, 150),
     ("MiniGrid-DoorKey-5x5-v0", 4, 250),
     ("MiniGrid-DoorKey-8x8-v0", 4, 300),
+    ("MiniGrid-FourRooms-v0", 2, 200),
+    ("MiniGrid-DistShift1-v0", 2, 150),
+    ("MiniGrid-LavaGapS7-v0", 3, 150),
+    ("MiniGrid-LavaCrossingS9N2-v0", 3, 150),
+    ("MiniGrid-SimpleCrossingS11N5-v0", 2, 150),
+]
+
+
+def _extra_fetch(env):
+    from minigrid.core.constants import COLOR_TO_IDX, OBJECT_TO_IDX
+
+    return {
+        "target_type": np.int32(OBJECT_TO_IDX[env.targetType]),
+        "target_color": np.int32(COLOR_TO_IDX[env.targetColor]),
+    }
+
+
+def _extra_target_pos(env):
+    return {"target_pos": np.asarray(env.target_pos, np.int32)}
+
+
+def _extra_putnear(env):
+    from minigrid.core.constants import COLOR_TO_IDX, OBJECT_TO_IDX
+
+    return {
+        "move_type": np.int32(OBJECT_TO_IDX[env.move_type]),
+        "move_color": np.int32(COLOR_TO_IDX[env.moveColor]),
+        "target_pos": np.asarray(env.target_pos, np.int32),
+    }
+
+
+def _extra_memory(env):
+    return {
+        "success_pos": np.asarray(env.success_pos, np.int32),
+        "failure_pos": np.asarray(env.failure_pos, np.int32),
+    }
+
+
+def _extra_redblue(env):
+    grid_enc = env.grid.encode()
+    doors = np.argwhere(grid_enc[..., 0] == 4)
+    red = [p for p in doors if grid_enc[p[0], p[1], 1] == 0][0]
+    blue = [p for p in doors if grid_enc[p[0], p[1], 1] == 2][0]
+    return {
+        "red_pos": np.asarray(red, np.int32),
+        "blue_pos": np.asarray(blue, np.int32),
+    }
+
+
+# Envs whose step() overlays family-specific reward/termination logic:
+# record the reference's target metadata so the test can rebuild the
+# EnvState.extra pytree and replay through env.step_env.
+OVERLAY_ENVS = [
+    ("MiniGrid-Fetch-8x8-N3-v0", 4, 250, _extra_fetch),
+    ("MiniGrid-GoToDoor-8x8-v0", 4, 200, _extra_target_pos),
+    ("MiniGrid-GoToObject-8x8-N2-v0", 4, 200, _extra_target_pos),
+    ("MiniGrid-PutNear-8x8-N3-v0", 6, 250, _extra_putnear),
+    ("MiniGrid-MemoryS13-v0", 4, 250, _extra_memory),
+    ("MiniGrid-RedBlueDoors-8x8-v0", 4, 300, _extra_redblue),
 ]
 
 
@@ -62,7 +121,9 @@ def encode_carrying(obj: WorldObj | None) -> np.ndarray:
     return out
 
 
-def record_steps(env_id: str, num_seeds: int, steps_per_seed: int) -> dict:
+def record_steps(
+    env_id: str, num_seeds: int, steps_per_seed: int, extra_fn=None
+) -> dict:
     """Play random actions, recording full pre/post state per transition."""
     rec = {k: [] for k in (
         "grid_pre", "contains_pre", "pos_pre", "dir_pre", "carry_pre",
@@ -70,11 +131,14 @@ def record_steps(env_id: str, num_seeds: int, steps_per_seed: int) -> dict:
         "grid_post", "contains_post", "pos_post", "dir_post", "carry_post",
         "reward", "terminated", "truncated", "obs_image",
     )}
+    extras: list[dict] = []
     env = gym.make(env_id).unwrapped
     rng = np.random.default_rng(12345)
     for seed in range(num_seeds):
         env.reset(seed=seed)
         for _ in range(steps_per_seed):
+            if extra_fn is not None:
+                extras.append(extra_fn(env))
             g_pre, c_pre = encode_grid(env.grid)
             rec["grid_pre"].append(g_pre)
             rec["contains_pre"].append(c_pre)
@@ -99,6 +163,9 @@ def record_steps(env_id: str, num_seeds: int, steps_per_seed: int) -> dict:
             if terminated or truncated:
                 env.reset(seed=1000 + seed * 1000 + env.step_count)
     out = {k: np.stack(v) for k, v in rec.items()}
+    if extras:
+        for ek in extras[0]:
+            out["extra_" + ek] = np.stack([e[ek] for e in extras])
     out["max_steps"] = np.int32(env.max_steps)
     out["see_through_walls"] = np.bool_(env.see_through_walls)
     out["agent_view_size"] = np.int32(env.agent_view_size)
@@ -136,6 +203,12 @@ def main():
     for env_id, seeds, steps in STEP_ENVS:
         data = record_steps(env_id, seeds, steps)
         path = os.path.join(OUT_DIR, f"steps_{env_id}.npz")
+        np.savez_compressed(path, **data)
+        n = data["action"].shape[0]
+        print(f"wrote {path} ({n} transitions)")
+    for env_id, seeds, steps, extra_fn in OVERLAY_ENVS:
+        data = record_steps(env_id, seeds, steps, extra_fn)
+        path = os.path.join(OUT_DIR, f"overlay_{env_id}.npz")
         np.savez_compressed(path, **data)
         n = data["action"].shape[0]
         print(f"wrote {path} ({n} transitions)")
