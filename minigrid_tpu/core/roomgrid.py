@@ -155,19 +155,35 @@ class RoomGridBuilder:
         )
         return s.replace(open_right=open_right, open_down=open_down)
 
+    def random_free_wall(self, key: jax.Array, s: RoomGridState, i, j):
+        """Uniformly pick a wall of room (i, j) that has a neighbor and no
+        door yet (the reference's add_door door_idx=None rejection loop,
+        minigrid/core/roomgrid.py:244-250)."""
+        valids = []
+        for k in range(4):
+            _, _, valid, oi, oj, horizontal = self.door_slot(s, i, j, k)
+            occupied = jnp.where(
+                horizontal, s.open_right[oj, oi], s.open_down[oj, oi]
+            )
+            valids.append(valid & ~occupied)
+        logits = jnp.where(jnp.stack(valids), 0.0, -jnp.inf)
+        return jax.random.categorical(key, logits)
+
     def add_door(
         self,
         key: jax.Array,
         s: RoomGridState,
         i,
         j,
-        k,
+        k=None,
         color=None,
         locked=None,
     ):
-        """Place a door on wall k of room (i, j) (reference :230-274).
-        Returns (state, color, (x, y))."""
-        k_color, k_locked = jax.random.split(key)
+        """Place a door on wall k of room (i, j) (reference :230-274);
+        k=None picks a random free wall.  Returns (state, color, (x, y))."""
+        k_color, k_locked, k_wall = jax.random.split(key, 3)
+        if k is None:
+            k = self.random_free_wall(k_wall, s, i, j)
         if color is None:
             color = jnp.asarray(SORTED_COLOR_IDX)[randint(k_color, 0, 6)]
         color = jnp.asarray(color, jnp.uint8)
@@ -281,6 +297,21 @@ class RoomGridBuilder:
         pos = jnp.stack([xy // h, xy % h]).astype(jnp.int32)
         return s.replace(agent_pos=pos, agent_dir=d.astype(jnp.int32))
 
+    def agent_room_mask(self, s: RoomGridState) -> jnp.ndarray:
+        """bool[W, H] rect (walls included) of the agent's current room
+        (the reference's Room.pos_inside, minigrid/core/roomgrid.py:49-63)."""
+        ai, aj = self.room_of_pos(s.agent_pos[0], s.agent_pos[1])
+        return self.room_interior_mask(ai, aj)
+
+    def open_all_doors(self, s: RoomGridState) -> RoomGridState:
+        """Set every door's state to open (reference
+        minigrid/envs/babyai/core/roomgrid_level.py:237-247)."""
+        is_door = s.grid[:, :, 0] == OBJ_DOOR
+        grid = s.grid.at[:, :, 2].set(
+            jnp.where(is_door, jnp.uint8(0), s.grid[:, :, 2])
+        )
+        return s.replace(grid=grid)
+
     # -- connectivity ------------------------------------------------------------
     def reach_mask(self, s: RoomGridState) -> jnp.ndarray:
         """bool[rows, cols] of rooms reachable from the agent's room through
@@ -299,16 +330,28 @@ class RoomGridBuilder:
             return reach | right | left | down | up
         return jax.lax.fori_loop(0, r * c, body, reach)
 
-    def connect_all(self, key: jax.Array, s: RoomGridState, door_colors=None, max_itrs: int = 5000) -> RoomGridState:
+    def connect_all(
+        self,
+        key: jax.Array,
+        s: RoomGridState,
+        door_colors=None,
+        max_itrs: int = 5000,
+        exclude_color=None,
+    ) -> RoomGridState:
         """Randomly add open doors until every room is reachable
         (reference :336-394): per iteration sample (i, j, k); skip if the slot
         is missing/occupied or either side is locked; else add a door of a
-        random allowed color."""
+        random allowed color.  ``exclude_color`` (traced, -1 = none) removes
+        one color from the palette (BabyAI Unlock, babyai/unlock.py:83-88)."""
         if door_colors is None:
             color_table = jnp.asarray(SORTED_COLOR_IDX)
         else:
             color_table = jnp.asarray(np.asarray(door_colors, np.int32))
         n_colors = int(color_table.shape[0])
+        if exclude_color is None:
+            exclude_color = jnp.int32(-1)
+        excl_pos = jnp.argmax(color_table == jnp.asarray(exclude_color, jnp.int32))
+        has_excl = (color_table == jnp.asarray(exclude_color, jnp.int32)).any()
         r, c = self.num_rows, self.num_cols
 
         def cond(carry):
@@ -331,7 +374,12 @@ class RoomGridBuilder:
             blocked = s.locked[jj, ii] | s.locked[nj, ni]
             do = valid & ~occupied & ~blocked
 
-            color = color_table[randint(kc, 0, n_colors)].astype(jnp.uint8)
+            r_full = randint(kc, 0, n_colors)
+            r_less = jax.random.randint(
+                jax.random.fold_in(kc, 1), (), 0, max(n_colors - 1, 1), dtype=jnp.int32
+            )
+            idx = jnp.where(has_excl, r_less + (r_less >= excl_pos), r_full)
+            color = color_table[idx].astype(jnp.uint8)
             door_cell = jnp.stack(
                 [jnp.asarray(OBJ_DOOR, jnp.uint8), color, jnp.asarray(STATE_CLOSED, jnp.uint8)]
             )

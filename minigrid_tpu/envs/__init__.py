@@ -32,6 +32,8 @@ from minigrid_tpu.envs.unlock import (
     UnlockPickupEnv,
 )
 from minigrid_tpu.registry import register
+import minigrid_tpu.envs.babyai  # noqa: F401  (registers the 96 BabyAI ids)
+from minigrid_tpu.envs.wfc import WFC_PRESETS, WFCEnv
 
 # -- Empty (reference: minigrid/__init__.py:117-160) --
 register("MiniGrid-Empty-5x5-v0", EmptyEnv, size=5)
@@ -189,6 +191,10 @@ register("MiniGrid-PutNear-8x8-N3-v0", PutNearEnv, size=8, numObjs=3)
 # -- RedBlueDoors (reference: minigrid/__init__.py:545-555) --
 register("MiniGrid-RedBlueDoors-6x6-v0", RedBlueDoorEnv, size=6)
 register("MiniGrid-RedBlueDoors-8x8-v0", RedBlueDoorEnv)
+
+# -- WFC presets (reference: minigrid/envs/wfc/config.py:226-233) --
+for _name in WFC_PRESETS:
+    register(f"MiniGrid-WFC-{_name}-v0", WFCEnv, wfc_config=_name)
 
 __all__ = [
     "BlockedUnlockPickupEnv",

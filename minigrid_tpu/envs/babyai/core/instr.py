@@ -374,6 +374,72 @@ def verify_step(instr: InstrState, prev_state, state, action):
     return instr, status
 
 
+# -- construction helpers (used by level gen_attempt functions) ---------------
+
+
+def set_leaf(instr: InstrState, leaf: int, kind, strict=False) -> InstrState:
+    return instr.replace(
+        leaf_kind=instr.leaf_kind.at[leaf].set(jnp.asarray(kind, jnp.int32)),
+        leaf_strict=instr.leaf_strict.at[leaf].set(jnp.asarray(strict)),
+    )
+
+
+def set_desc(
+    instr: InstrState,
+    leaf: int,
+    d: int,
+    grid: jnp.ndarray,
+    agent_pos,
+    agent_dir,
+    d_type,
+    d_color=-1,
+    d_loc=-1,
+    agent_room_mask: jnp.ndarray | None = None,
+) -> InstrState:
+    """Attach descriptor (type, color, loc) to slot (leaf, d) and resolve its
+    matching-object masks against the finished grid (the reference's
+    reset_verifier + find_matching_objs)."""
+    d_type = jnp.asarray(d_type, jnp.int32)
+    d_color = jnp.asarray(d_color, jnp.int32)
+    d_loc = jnp.asarray(d_loc, jnp.int32)
+    mask = desc_match_mask(
+        grid, d_type, d_color, d_loc, agent_pos, agent_dir, agent_room_mask
+    )
+    return instr.replace(
+        d_type=instr.d_type.at[leaf, d].set(d_type),
+        d_color=instr.d_color.at[leaf, d].set(d_color),
+        d_loc=instr.d_loc.at[leaf, d].set(d_loc),
+        d_plural=instr.d_plural.at[leaf, d].set(mask.sum() > 1),
+        gridm=instr.gridm.at[leaf, d].set(mask),
+        poss=instr.poss.at[leaf, d].set(mask),
+    )
+
+
+def set_top(instr: InstrState, kind, a_is_and=False, b_is_and=False, strict=False) -> InstrState:
+    # Convention: TOP_AND stores its two ActionInstrs in slots 0/1 with
+    # a_is_and=True so the called-mask gating covers both.
+    kind = jnp.asarray(kind, jnp.int32)
+    a_is_and = jnp.asarray(a_is_and) | (kind == TOP_AND)
+    return instr.replace(
+        top_kind=kind,
+        a_is_and=a_is_and,
+        b_is_and=jnp.asarray(b_is_and),
+        strict=jnp.asarray(strict),
+    )
+
+
+def start_carrying_object(instr: InstrState, pos) -> InstrState:
+    """Mark the object at ``pos`` as moved from the grid into the agent's
+    hand before the episode starts (PutNext ``start_carrying``,
+    reference putnext.py:190-200: matching ran with the object in the grid,
+    then it was lifted; obj_poss stays stale)."""
+    at = instr.gridm[:, :, pos[0], pos[1]]
+    return instr.replace(
+        carried=instr.carried | at,
+        gridm=instr.gridm.at[:, :, pos[0], pos[1]].set(False),
+    )
+
+
 def num_navs(instr: InstrState) -> jnp.ndarray:
     """Navigation count for the dynamic step limit
     (reference roomgrid_level.py:215-235): putnext counts 2, other leaves 1."""

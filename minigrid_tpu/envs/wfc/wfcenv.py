@@ -1,0 +1,118 @@
+"""WFC environment (reference: minigrid/envs/wfc/wfcenv.py:30-258)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from minigrid_tpu.core import grid as g
+from minigrid_tpu.core.constants import GOAL_CELL, WALL_CELL
+from minigrid_tpu.core.env import MiniGridEnv
+from minigrid_tpu.core.mission import mission_vec, register_mission
+from minigrid_tpu.core.sampling import rand_dir, sample_mask_cell
+from minigrid_tpu.core.state import EnvState, new_state
+from minigrid_tpu.envs.wfc.preprocess import WFC_PRESETS, WFCConfig, preset_tables, build_tables
+from minigrid_tpu.envs.wfc.solver import wfc_solve
+
+_MISSION = register_mission("traverse the maze to get to the goal")
+
+
+def _largest_component(nav: jnp.ndarray) -> jnp.ndarray:
+    """Keep only the largest 4-connected navigable component (of size > 1),
+    the reference's graph-based filtering (wfcenv.py:216-245) as label
+    propagation + bincount."""
+    w, h = nav.shape
+    big = jnp.int32(w * h + 7)
+    lab = jnp.where(nav, jnp.arange(w * h, dtype=jnp.int32).reshape(w, h), big)
+
+    def body(_, lab):
+        p = jnp.pad(lab, 1, constant_values=w * h + 7)
+        m = jnp.minimum(
+            jnp.minimum(p[2:, 1:-1], p[:-2, 1:-1]),
+            jnp.minimum(p[1:-1, 2:], p[1:-1, :-2]),
+        )
+        return jnp.where(nav, jnp.minimum(lab, m), lab)
+
+    lab = jax.lax.fori_loop(0, (w * h) // 2 + 2, body, lab)
+    counts = (
+        jnp.zeros((w * h + 8,), jnp.int32).at[lab.reshape(-1)].add(nav.reshape(-1))
+    )
+    counts = counts.at[w * h + 7].set(0)
+    counts = jnp.where(counts > 1, counts, 0)  # drop singleton components
+    best = jnp.argmax(counts)
+    return nav & (lab == best)
+
+
+class WFCEnv(MiniGridEnv):
+    """Level generation via Wave Function Collapse from B/W pattern images
+    (reference: minigrid/envs/wfc/wfcenv.py:114-258)."""
+
+    def __init__(
+        self,
+        wfc_config: str | WFCConfig = "MazeSimple",
+        size: int = 25,
+        ensure_connected: bool = True,
+        max_steps: int | None = None,
+        max_attempts: int = 64,
+        **kwargs,
+    ):
+        if size < 3:
+            raise ValueError(f"Grid size must be at least 3 (currently {size})")
+        if max_steps is None:
+            max_steps = size * 20
+        super().__init__(width=size, height=size, max_steps=max_steps, **kwargs)
+        self.config = (
+            wfc_config if isinstance(wfc_config, WFCConfig) else WFC_PRESETS[wfc_config]
+        )
+        tables = (
+            build_tables(self.config)
+            if isinstance(wfc_config, WFCConfig)
+            else preset_tables(wfc_config)
+        )
+        self._tables = tables
+        self.ensure_connected = ensure_connected
+        self.max_attempts = max_attempts
+
+    def _generate(self, key: jax.Array) -> EnvState:
+        w = h = self.width
+        inner = w - 2
+        t = self._tables
+        k_solve, k_start, k_goal, k_dir, k_carry = jax.random.split(key, 5)
+
+        pattern_grid, ok = wfc_solve(
+            k_solve,
+            jnp.asarray(t["adj"]),
+            jnp.asarray(t["weights"]),
+            jnp.zeros((inner, inner)),
+            periodic=self.config.output_periodic,
+            max_attempts=self.max_attempts,
+        )
+        # Pattern anchor tile -> wall/empty (reference wfcenv.py:203-214).
+        is_wall_pattern = jnp.asarray(t["top_left"] == t["wall_tile"])
+        wall = is_wall_pattern[pattern_grid]  # [inner, inner]
+        nav = ~wall
+        if self.ensure_connected:
+            nav = _largest_component(nav)
+
+        # Start and goal: two distinct navigable cells (reference :247-258).
+        start = sample_mask_cell(k_start, nav)
+        xs, ys = g.coord_grids(inner, inner)
+        nav2 = nav & ~((xs == start[0]) & (ys == start[1]))
+        goal = sample_mask_cell(k_goal, nav2)
+
+        grid = g.wall_rect(g.empty_grid(w, h), 0, 0, w, h)
+        interior_wall = jnp.pad(~nav, 1, constant_values=False)
+        grid = g.put(grid, interior_wall, WALL_CELL)
+        grid = g.set_cell(grid, goal[0] + 1, goal[1] + 1, GOAL_CELL)
+
+        return new_state(
+            grid=grid,
+            agent_pos=start + 1,
+            agent_dir=rand_dir(k_dir),
+            rng=k_carry,
+            max_steps=self.max_steps,
+            mission=mission_vec(_MISSION),
+        )
+
+    def mission_text(self, mission=None) -> str:
+        return "traverse the maze to get to the goal"
