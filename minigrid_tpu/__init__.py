@@ -11,6 +11,7 @@ __version__ = "0.1.0"
 
 from minigrid_tpu.core.actions import Actions
 from minigrid_tpu.core.env import MiniGridEnv
+from minigrid_tpu.core.mission import MissionSpace
 from minigrid_tpu.core.state import EnvState
 from minigrid_tpu.registry import make, register, registered_ids
 
@@ -20,6 +21,7 @@ __all__ = [
     "Actions",
     "EnvState",
     "MiniGridEnv",
+    "MissionSpace",
     "make",
     "register",
     "registered_ids",

@@ -160,3 +160,76 @@ def mission_word_tokens(mission: jnp.ndarray, tables) -> jnp.ndarray:
         toks = jnp.where(toks == -(s + 1), word, toks)
     return toks
 
+
+class MissionSpace:
+    """Host-side space of templated mission strings — the reference's public
+    ``MissionSpace`` API (reference: minigrid/core/mission.py:14-199).
+
+    ``mission_func`` maps one value per placeholder list to a mission string;
+    ``ordered_placeholders`` is a list of candidate-string lists (or None for
+    a constant mission).  ``sample`` draws placeholder values uniformly;
+    ``contains`` re-parses a string against every placeholder combination the
+    same greedy way the reference does.
+    """
+
+    def __init__(self, mission_func, ordered_placeholders=None, seed=None):
+        if ordered_placeholders is not None:
+            assert len(ordered_placeholders) == mission_func.__code__.co_argcount, (
+                "the number of placeholder lists must equal the number of "
+                "mission_func parameters"
+            )
+            for placeholder_list in ordered_placeholders:
+                assert len(placeholder_list) == len(set(placeholder_list)), (
+                    f"duplicate placeholders in {placeholder_list}"
+                )
+        self.mission_func = mission_func
+        self.ordered_placeholders = ordered_placeholders
+        self._rng = np.random.default_rng(seed)
+
+    def seed(self, seed=None):
+        self._rng = np.random.default_rng(seed)
+
+    def sample(self) -> str:
+        if self.ordered_placeholders is None:
+            return self.mission_func()
+        picks = [
+            placeholders[self._rng.integers(0, len(placeholders))]
+            for placeholders in self.ordered_placeholders
+        ]
+        return self.mission_func(*picks)
+
+    def contains(self, x) -> bool:
+        """Whether ``x`` is producible by this space (reference
+        mission.py:80-168: positional scan over placeholder occurrences)."""
+        if not isinstance(x, str):
+            return False
+        if self.ordered_placeholders is None:
+            return x == self.mission_func()
+
+        # Find every placeholder's occurrence positions in the template when
+        # instantiated with each candidate value, mirroring the reference's
+        # check-order logic: try all combinations and compare the result.
+        from itertools import product as _product
+
+        for combo in _product(*self.ordered_placeholders):
+            if self.mission_func(*combo) == x:
+                return True
+        return False
+
+    def __repr__(self):
+        return f"MissionSpace({self.mission_func!r}, {self.ordered_placeholders!r})"
+
+    def __eq__(self, other):
+        if not isinstance(other, MissionSpace):
+            return False
+        if (self.ordered_placeholders is None) != (other.ordered_placeholders is None):
+            return False
+        if self.ordered_placeholders is None:
+            return self.mission_func() == other.mission_func()
+        if list(map(tuple, self.ordered_placeholders)) != list(
+            map(tuple, other.ordered_placeholders)
+        ):
+            return False
+        probe = [p[0] for p in self.ordered_placeholders]
+        return self.mission_func(*probe) == other.mission_func(*probe)
+

@@ -1,0 +1,136 @@
+"""Tool-layer tests: benchmark CLI, manual control (mocked pygame), state
+inspection, checkpointing, graph transforms, MissionSpace — mirroring the
+reference's tests/test_scripts.py strategy of driving the UI with fake
+events."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import pytest
+
+import minigrid_tpu as mg
+from minigrid_tpu.core.mission import MissionSpace
+from minigrid_tpu.utils.checkpoint import load_npz, save_npz
+from minigrid_tpu.utils.debug import pprint_grid, state_hash
+
+
+@pytest.fixture(scope="module")
+def doorkey_state():
+    env = mg.make("MiniGrid-DoorKey-5x5-v0")
+    _, state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    return env, state
+
+
+def test_state_hash_deterministic(doorkey_state):
+    env, state = doorkey_state
+    assert state_hash(state) == state_hash(state)
+    assert len(state_hash(state, size=20)) == 20
+    # A different episode hashes differently.
+    _, other = jax.jit(env.reset)(jax.random.PRNGKey(1))
+    assert state_hash(other) != state_hash(state)
+
+
+def test_pprint_grid_shape_and_agent(doorkey_state):
+    env, state = doorkey_state
+    text = pprint_grid(state)
+    rows = text.split("\n")
+    assert len(rows) == env.height
+    assert all(len(r) == 2 * env.width for r in rows)
+    arrows = sum(r.count(c * 2) for r in rows for c in ">V<^")
+    assert arrows >= 1
+
+
+def test_checkpoint_npz_roundtrip(tmp_path, doorkey_state):
+    _, state = doorkey_state
+    p = str(tmp_path / "ck.npz")
+    save_npz(p, state)
+    restored = load_npz(p, state)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_benchmark_smoke():
+    from minigrid_tpu.benchmark import benchmark
+
+    r = benchmark(
+        "MiniGrid-Empty-5x5-v0",
+        num_resets=2,
+        num_frames=2,
+        num_envs=8,
+        num_steps=4,
+    )
+    assert r["reset_ms"] > 0
+    assert r["world_render_fps"] > 0
+    assert r["agent_view_fps"] > 0
+    assert r["env_steps_per_sec"] > 0
+
+
+def test_manual_control_keys(monkeypatch):
+    """Drive ManualControl with fake key events, pygame display stubbed out
+    (reference: tests/test_scripts.py:18-49)."""
+    from minigrid_tpu.manual_control import ManualControl
+
+    env = mg.make("MiniGrid-Empty-5x5-v0")
+    mc = ManualControl(env, seed=42)
+    monkeypatch.setattr(mc, "render", lambda: None)
+    mc.reset()
+    start_pos = tuple(np.asarray(mc.state.agent_pos))
+
+    class Event:
+        def __init__(self, key):
+            self.key = key
+
+    mc.key_handler(Event("left"))
+    assert int(mc.state.agent_dir) != 0 or True  # direction changed or wrapped
+    mc.key_handler(Event("up"))
+    mc.key_handler(Event("space"))
+    assert int(mc.state.step_count) == 3
+    mc.key_handler(Event("backspace"))
+    assert int(mc.state.step_count) == 0
+    assert tuple(np.asarray(mc.state.agent_pos)) == start_pos  # seeded reset
+    mc.key_handler(Event("escape"))
+    assert mc.closed
+
+
+def test_graph_transform_roundtrip():
+    from minigrid_tpu.envs.wfc.graphtransforms import EdgeDescriptor, GraphTransforms
+
+    env = mg.make("MiniGrid-Empty-8x8-v0")
+    _, state = jax.jit(env.reset)(jax.random.PRNGKey(3))
+    attrs = ["navigable", "empty", "wall", "start", "goal"]
+    graphs = GraphTransforms.minigrid_to_dense_graph(
+        [state],
+        node_attr=attrs,
+        edge_config={"navigable": EdgeDescriptor(("navigable",), "grid")},
+    )
+    (g,) = graphs
+    assert g.number_of_nodes() == 36  # 6x6 interior
+    grid = GraphTransforms.dense_graph_to_minigrid(g, shape=(8, 8))
+    orig = np.asarray(state.grid).copy()
+    pos = np.asarray(state.agent_pos)
+    orig[pos[0], pos[1], 0] = 10  # agent overlay like the transform does
+    # Same wall/goal/agent layout (colors are canonicalized by the transform).
+    np.testing.assert_array_equal(grid[..., 0], orig[..., 0])
+
+
+def test_mission_space_sample_contains():
+    space = MissionSpace(
+        mission_func=lambda color, obj: f"go to the {color} {obj}",
+        ordered_placeholders=[["red", "green"], ["ball", "key"]],
+    )
+    s = space.sample()
+    assert space.contains(s)
+    assert not space.contains("fetch me the moon")
+    const = MissionSpace(mission_func=lambda: "get to the goal")
+    assert const.sample() == "get to the goal"
+    assert const.contains("get to the goal")
+    assert not const.contains("other")
+
+
+def test_mission_space_eq():
+    a = MissionSpace(lambda c: f"go to the {c} door", [["red", "blue"]])
+    b = MissionSpace(lambda c: f"go to the {c} door", [["red", "blue"]])
+    c = MissionSpace(lambda c: f"open the {c} door", [["red", "blue"]])
+    assert a == b
+    assert a != c
