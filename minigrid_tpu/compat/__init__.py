@@ -1,0 +1,5 @@
+"""Compatibility shims for external APIs (gymnasium single-env host mode)."""
+
+from minigrid_tpu.compat.gym import GymnasiumMiniGrid, gym_make
+
+__all__ = ["GymnasiumMiniGrid", "gym_make"]

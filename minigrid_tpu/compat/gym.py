@@ -1,0 +1,150 @@
+"""Gymnasium single-env host adapter.
+
+The native API here is functional (pure ``reset``/``step`` over ``EnvState``
+pytrees, batched with ``vmap``); this shim wraps one env instance in the
+mutable ``gymnasium.Env`` protocol so existing gymnasium tooling
+(``check_env``, wrappers, SyncVectorEnv) and reference-style user code work
+unchanged (reference surface: minigrid/minigrid_env.py:24-157).  It is a
+conformance/interop layer, not the hot path — rollouts at scale should stay
+on the functional API.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+
+from minigrid_tpu.core.actions import NUM_ACTIONS
+from minigrid_tpu.registry import make
+
+try:  # gymnasium is optional; the adapter degrades to a plain class.
+    import gymnasium as _gym
+
+    _EnvBase = _gym.Env
+except ImportError:  # pragma: no cover
+    _EnvBase = object
+
+
+class GymnasiumMiniGrid(_EnvBase):
+    """``gymnasium.Env`` adapter over a functional env family."""
+
+    metadata = {"render_modes": ["rgb_array"], "render_fps": 10}
+
+    def __init__(self, env, render_mode: str | None = None, tile_size: int = 32):
+        import gymnasium as gym
+
+        self.env = env
+        self.render_mode = render_mode
+        self.tile_size = tile_size
+        self.state = None
+        self._episode = 0
+        self._base_seed = 0
+        self._reset_fn = jax.jit(env.reset)
+        self._step_fn = jax.jit(env.step_env)
+        self._frame_fn = jax.jit(
+            lambda s: env.get_frame(s, tile_size=tile_size)
+        )
+
+        v = env.agent_view_size
+        self.action_space = gym.spaces.Discrete(NUM_ACTIONS)
+        self.observation_space = gym.spaces.Dict(
+            {
+                "image": gym.spaces.Box(0, 255, (v, v, 3), dtype=np.uint8),
+                "direction": gym.spaces.Discrete(4),
+                "mission": gym.spaces.Text(
+                    max_length=256,
+                    charset=frozenset(
+                        "abcdefghijklmnopqrstuvwxyz ,0123456789"
+                    ),
+                ),
+            }
+        )
+        self.reward_range = getattr(env, "reward_range", (0.0, 1.0))
+        self.spec = None
+
+    # -- gymnasium protocol ----------------------------------------------------
+    def reset(self, *, seed: int | None = None, options: dict | None = None):
+        if _EnvBase is not object:
+            super().reset(seed=seed)  # seeds self.np_random per gym contract
+        if seed is not None:
+            self._base_seed = seed
+            self._episode = 0
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(self._base_seed), self._episode
+        )
+        self._episode += 1
+        obs, self.state = self._reset_fn(key)
+        return self._convert_obs(obs), {}
+
+    def step(self, action):
+        assert self.state is not None, "call reset() before step()"
+        self.state, reward = self._step_fn(self.state, int(action))
+        obs = self.env.observation(self.state)
+        return (
+            self._convert_obs(obs),
+            float(reward),
+            bool(self.state.terminated),
+            bool(self.state.truncated),
+            {},
+        )
+
+    def render(self):
+        if self.state is None:
+            return None
+        return np.asarray(self._frame_fn(self.state))
+
+    def close(self):
+        pass
+
+    @property
+    def unwrapped(self):
+        return self
+
+    # -- conveniences mirroring the reference's attribute surface ---------------
+    @property
+    def agent_pos(self):
+        return tuple(int(v) for v in np.asarray(self.state.agent_pos))
+
+    @property
+    def agent_dir(self) -> int:
+        return int(self.state.agent_dir)
+
+    @property
+    def step_count(self) -> int:
+        return int(self.state.step_count)
+
+    @property
+    def max_steps(self) -> int:
+        return int(self.state.max_steps)
+
+    @property
+    def mission(self) -> str:
+        return self.env.mission_text(self.state.mission)
+
+    def hash(self, size: int = 16) -> str:
+        from minigrid_tpu.utils.debug import state_hash
+
+        return state_hash(self.state, size)
+
+    def pprint_grid(self) -> str:
+        from minigrid_tpu.utils.debug import pprint_grid
+
+        return pprint_grid(self.state)
+
+    def __str__(self):
+        return self.pprint_grid()
+
+    # -- internals -----------------------------------------------------------------
+    def _convert_obs(self, obs) -> dict[str, Any]:
+        return {
+            "image": np.asarray(obs["image"]),
+            "direction": int(obs["direction"]),
+            "mission": self.env.mission_text(obs["mission"]),
+        }
+
+
+def gym_make(env_id: str, render_mode: str | None = None, **kwargs):
+    """``gym.make``-alike returning the adapter directly."""
+    return GymnasiumMiniGrid(make(env_id, **kwargs), render_mode=render_mode)
