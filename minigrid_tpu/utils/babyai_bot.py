@@ -396,15 +396,29 @@ class Explore(_Subgoal):
             bot.stack.append(GoNextTo(bot, unseen, reason="Explore"))
             return None
 
-        # Everything seen: open the nearest closed door (unlocked first so
-        # unlock-planning can't recurse onto the same door).
+        # Everything seen: open the nearest closed door.  Preference order
+        # improves on the reference (baby_ai_bot.py:504-525): (1) unlocked,
+        # (2) locked with its key visible or in hand, (3) any.  Without (2),
+        # committing to a locked door whose key hides behind another locked
+        # door replans in a cycle (solvable chains always have one door with
+        # an available key).
         def closed_unlocked(p, c):
             return c is not None and c[0] == OBJ_DOOR and c[2] == STATE_CLOSED
+
+        def locked_key_available(p, c):
+            return (
+                c is not None
+                and c[0] == OBJ_DOOR
+                and c[2] == STATE_LOCKED
+                and bot._key_available(c[1])
+            )
 
         def closed_any(p, c):
             return c is not None and c[0] == OBJ_DOOR and c[2] != STATE_OPEN
 
         _, door_pos, _ = bot._shortest_path(closed_unlocked, with_blockers=True)
+        if door_pos is None:
+            _, door_pos, _ = bot._shortest_path(locked_key_available, with_blockers=True)
         if door_pos is None:
             _, door_pos, _ = bot._shortest_path(closed_any, with_blockers=True)
         if door_pos is not None:
@@ -480,7 +494,14 @@ class BabyAIBot:
             self.stack.pop()
 
         suggested = None
+        guard = 0
         while self.stack:
+            guard += 1
+            if guard > 500:
+                raise RuntimeError(
+                    "replan cycle: "
+                    + repr([(type(s).__name__, s.datum, s.reason) for s in self.stack[-8:]])
+                )
             suggested = self.stack[-1].advise()
             if suggested is not None:
                 break
@@ -510,6 +531,14 @@ class BabyAIBot:
         xs, ys = coords[..., 0], coords[..., 1]
         ok = vis & (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
         self.vis_mask[xs[ok], ys[ok]] = True
+
+    def _key_available(self, color: int) -> bool:
+        """A key of ``color`` is in hand or visible somewhere on the map."""
+        if self.carrying == (OBJ_KEY, int(color)):
+            return True
+        g = self.grid
+        m = (g[:, :, 0] == OBJ_KEY) & (g[:, :, 1] == color) & self.vis_mask
+        return bool(m.any())
 
     def _in_view(self, x, y):
         vx = (x - self.pos[0]) * self.right_vec[0] + (y - self.pos[1]) * self.right_vec[1]
