@@ -46,6 +46,36 @@ def main():
 
     steps = NUM_ENVS * NUM_STEPS * MEASURE_ITERS
     sps = steps / dt
+
+    # Secondary: observation-consuming rollout (the PPO-training-shaped
+    # metric; obs generation cannot be dead-code-eliminated here).
+    obs_batch = jax.vmap(env.observation)
+
+    @jax.jit
+    def rollout_with_obs(states, key):
+        def body(carry, _):
+            states, key, acc = carry
+            key, k_act = jax.random.split(key)
+            actions = jax.random.randint(
+                k_act, (NUM_ENVS,), 0, env.num_actions, dtype=jnp.int32
+            )
+            _, states, reward, term, trunc = jax.vmap(env.step)(states, actions)
+            o = obs_batch(states)
+            acc = acc + o["image"][:, 0, 0, 0].astype(jnp.int32).sum()
+            return (states, key, acc), None
+
+        (states, _, acc), _ = jax.lax.scan(
+            body, (states, key, jnp.int32(0)), None, length=NUM_STEPS
+        )
+        return states, acc
+
+    states2, acc = rollout_with_obs(states, k_roll)
+    jax.block_until_ready(acc)
+    t0 = time.perf_counter()
+    states2, acc = rollout_with_obs(states, jax.random.fold_in(k_roll, 999))
+    jax.block_until_ready(acc)
+    obs_sps = NUM_ENVS * NUM_STEPS / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -53,6 +83,7 @@ def main():
                 "value": round(sps),
                 "unit": "steps/s",
                 "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 4),
+                "obs_consumed_steps_per_sec": round(obs_sps),
             }
         )
     )

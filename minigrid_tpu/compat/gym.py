@@ -105,7 +105,7 @@ class GymnasiumMiniGrid(_EnvBase):
     # -- conveniences mirroring the reference's attribute surface ---------------
     @property
     def agent_pos(self):
-        return tuple(int(v) for v in np.asarray(self.state.agent_pos))
+        return (int(self.state.agent_x), int(self.state.agent_y))
 
     @property
     def agent_dir(self) -> int:

@@ -130,21 +130,88 @@ def see_behind(obj_type: jnp.ndarray, obj_state: jnp.ndarray) -> jnp.ndarray:
     return ~opaque
 
 
-# Cell constants as (type, color, state) uint8 triples.
-EMPTY_CELL = jnp.array([OBJ_EMPTY, 0, 0], dtype=jnp.uint8)
-WALL_CELL = jnp.array([OBJ_WALL, COLOR_GREY, 0], dtype=jnp.uint8)
-UNSEEN_CELL = jnp.array([OBJ_UNSEEN, 0, 0], dtype=jnp.uint8)
-GOAL_CELL = jnp.array([OBJ_GOAL, COLOR_GREEN, 0], dtype=jnp.uint8)
-LAVA_CELL = jnp.array([OBJ_LAVA, COLOR_RED, 0], dtype=jnp.uint8)
-FLOOR_CELL = jnp.array([OBJ_FLOOR, COLOR_BLUE, 0], dtype=jnp.uint8)
+# -- Packed cell representation ----------------------------------------------
+# A grid cell is ONE int32: type | color << 8 | state << 16.  The uint8
+# (type, color, state) triple of the reference's ``Grid.encode``
+# (minigrid/core/grid.py:244-268) remains the *encoding* at API boundaries
+# (observations, golden fixtures, renderer); internally everything is packed
+# so that grid arrays are [W, H] int32 — under vmap a flat, fully
+# lane-utilized [N, W*H] tensor with no layout-hostile size-3 minor dim.
 
 
-def cell(obj_type: int, color: int = 0, state: int = 0) -> jnp.ndarray:
-    """Build a (type, color, state) uint8 cell triple (traced values allowed)."""
-    return jnp.stack(
-        [
-            jnp.asarray(obj_type, jnp.uint8),
-            jnp.asarray(color, jnp.uint8),
-            jnp.asarray(state, jnp.uint8),
-        ]
+def cell(obj_type, color=0, state=0) -> jnp.ndarray:
+    """Pack (type, color, state) into one int32 (traced values allowed)."""
+    return (
+        jnp.asarray(obj_type, jnp.int32)
+        | (jnp.asarray(color, jnp.int32) << 8)
+        | (jnp.asarray(state, jnp.int32) << 16)
     )
+
+
+def cell_type(packed) -> jnp.ndarray:
+    return packed & 0xFF
+
+
+def cell_color(packed) -> jnp.ndarray:
+    return (packed >> 8) & 0xFF
+
+
+def cell_state(packed) -> jnp.ndarray:
+    return (packed >> 16) & 0xFF
+
+
+def with_state(packed, state) -> jnp.ndarray:
+    """Replace the state byte of a packed cell."""
+    return (packed & 0xFFFF) | (jnp.asarray(state, jnp.int32) << 16)
+
+
+def with_color(packed, color) -> jnp.ndarray:
+    """Replace the color byte of a packed cell."""
+    return (packed & ~0xFF00) | (jnp.asarray(color, jnp.int32) << 8)
+
+
+def pack_grid(encoded: jnp.ndarray) -> jnp.ndarray:
+    """uint8[..., W, H, 3] reference encoding -> packed int32[..., W, H]."""
+    e = jnp.asarray(encoded, jnp.int32)
+    return e[..., 0] | (e[..., 1] << 8) | (e[..., 2] << 16)
+
+
+def unpack_grid(packed: jnp.ndarray) -> jnp.ndarray:
+    """Packed int32[..., W, H] -> reference uint8[..., W, H, 3] encoding."""
+    return jnp.stack(
+        [cell_type(packed), cell_color(packed), cell_state(packed)], axis=-1
+    ).astype(jnp.uint8)
+
+
+# Packed carried-object word: type | color << 8 | hidden-contents type << 16
+# | hidden-contents color << 24 (replaces the reference's ``carrying``
+# object pointer + Box.contains, minigrid/core/world_object.py:274).
+def pack_carry(t, c=0, ct=0, cc=0) -> jnp.ndarray:
+    return (
+        jnp.asarray(t, jnp.int32)
+        | (jnp.asarray(c, jnp.int32) << 8)
+        | (jnp.asarray(ct, jnp.int32) << 16)
+        | (jnp.asarray(cc, jnp.int32) << 24)
+    )
+
+
+def carry_type(carry) -> jnp.ndarray:
+    return carry & 0xFF
+
+
+def carry_color(carry) -> jnp.ndarray:
+    return (carry >> 8) & 0xFF
+
+
+def carry_contents(carry) -> jnp.ndarray:
+    """Hidden (type | color << 8) word of the carried box's contents."""
+    return (carry >> 16) & 0xFFFF
+
+
+# Packed cell constants.
+EMPTY_CELL = cell(OBJ_EMPTY)
+WALL_CELL = cell(OBJ_WALL, COLOR_GREY)
+UNSEEN_CELL = cell(OBJ_UNSEEN)
+GOAL_CELL = cell(OBJ_GOAL, COLOR_GREEN)
+LAVA_CELL = cell(OBJ_LAVA, COLOR_RED)
+FLOOR_CELL = cell(OBJ_FLOOR, COLOR_BLUE)

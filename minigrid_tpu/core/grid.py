@@ -1,17 +1,20 @@
 """Functional grid construction and access primitives.
 
 Replaces the reference's mutable ``Grid`` container
-(reference: minigrid/core/grid.py:20-143) with pure functions over the dense
-uint8[W, H, 3] cell array.  All coordinate arguments may be traced scalars:
-writes are expressed as iota-mask blends rather than scatters, which XLA
-fuses into cheap vector selects.
+(reference: minigrid/core/grid.py:20-143) with pure functions over a packed
+int32[W, H] cell array (type | color << 8 | state << 16 — see
+minigrid_tpu/core/constants.py).  All coordinate arguments may be traced
+scalars: writes are iota-mask blends and reads are one-hot reductions, both
+of which XLA fuses into full-lane vector ops (TPU gathers on small rows are
+~5x slower than one-hot reduce at rollout batch sizes — measured in
+tools/perf_probe.py).
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
 
-from minigrid_tpu.core.constants import EMPTY_CELL, WALL_CELL
+from minigrid_tpu.core.constants import EMPTY_CELL, OBJ_EMPTY, WALL_CELL, cell_type
 
 
 def coord_grids(width: int, height: int):
@@ -22,13 +25,13 @@ def coord_grids(width: int, height: int):
 
 
 def empty_grid(width: int, height: int) -> jnp.ndarray:
-    """All-empty uint8[W, H, 3] grid."""
-    return jnp.broadcast_to(EMPTY_CELL, (width, height, 3)).astype(jnp.uint8)
+    """All-empty packed int32[W, H] grid."""
+    return jnp.full((width, height), EMPTY_CELL, dtype=jnp.int32)
 
 
-def put(grid: jnp.ndarray, mask: jnp.ndarray, cell_value: jnp.ndarray) -> jnp.ndarray:
-    """Write ``cell_value`` (uint8[3]) at every cell where ``mask`` is True."""
-    return jnp.where(mask[:, :, None], cell_value.astype(jnp.uint8), grid)
+def put(grid: jnp.ndarray, mask: jnp.ndarray, cell_value) -> jnp.ndarray:
+    """Write packed ``cell_value`` at every cell where ``mask`` is True."""
+    return jnp.where(mask, jnp.asarray(cell_value, jnp.int32), grid)
 
 
 def rect_mask(width: int, height: int, x0, y0, w, h) -> jnp.ndarray:
@@ -68,28 +71,27 @@ def wall_rect(grid: jnp.ndarray, x, y, w, h) -> jnp.ndarray:
     return put(grid, outer & ~inner, WALL_CELL)
 
 
-def set_cell(grid: jnp.ndarray, x, y, cell_value: jnp.ndarray) -> jnp.ndarray:
+def cell_mask(width: int, height: int, x, y) -> jnp.ndarray:
+    """One-hot bool[W, H] mask of the (possibly traced) cell (x, y)."""
+    xs, ys = coord_grids(width, height)
+    return (xs == x) & (ys == y)
+
+
+def set_cell(grid: jnp.ndarray, x, y, cell_value) -> jnp.ndarray:
     """Write one cell at (possibly traced) coordinates (x, y)."""
     width, height = grid.shape[:2]
-    xs, ys = coord_grids(width, height)
-    mask = (xs == x) & (ys == y)
-    return put(grid, mask, cell_value)
-
-
-def set_cell_plane(plane: jnp.ndarray, x, y, value: jnp.ndarray) -> jnp.ndarray:
-    """Write one entry of an auxiliary [W, H, C] plane (e.g. ``contains``)."""
-    width, height = plane.shape[:2]
-    xs, ys = coord_grids(width, height)
-    mask = (xs == x) & (ys == y)
-    return jnp.where(mask[:, :, None], value.astype(plane.dtype), plane)
+    return put(grid, cell_mask(width, height, x, y), cell_value)
 
 
 def get_cell(grid: jnp.ndarray, x, y) -> jnp.ndarray:
-    """Read the uint8[3] cell at (possibly traced) coordinates (x, y)."""
+    """Read the packed cell at (possibly traced) coordinates (x, y).
+
+    One-hot max-reduce instead of a gather: at rollout batch sizes a TPU
+    row-gather costs ~290us/iter vs ~56us for the reduce (tools/perf_probe.py).
+    """
     width, height = grid.shape[:2]
-    flat = grid.reshape(width * height, grid.shape[2])
-    idx = jnp.asarray(x, jnp.int32) * height + jnp.asarray(y, jnp.int32)
-    return flat[idx]
+    m = cell_mask(width, height, x, y)
+    return jnp.max(jnp.where(m, grid, 0))
 
 
 def free_mask(grid: jnp.ndarray, agent_pos=None) -> jnp.ndarray:
@@ -98,10 +100,7 @@ def free_mask(grid: jnp.ndarray, agent_pos=None) -> jnp.ndarray:
     Mirrors the acceptance condition of the reference's rejection sampler
     ``place_obj`` (reference: minigrid/minigrid_env.py:339-364).
     """
-    from minigrid_tpu.core.constants import OBJ_EMPTY
-
-    m = grid[:, :, 0] == OBJ_EMPTY
+    m = cell_type(grid) == OBJ_EMPTY
     if agent_pos is not None:
-        xs, ys = coord_grids(*grid.shape[:2])
-        m = m & ~((xs == agent_pos[0]) & (ys == agent_pos[1]))
+        m = m & ~cell_mask(grid.shape[0], grid.shape[1], agent_pos[0], agent_pos[1])
     return m

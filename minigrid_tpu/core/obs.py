@@ -4,8 +4,10 @@ The reference builds the agent view by slicing a sub-grid, rotating it
 ``agent_dir + 1`` times, flood-processing occlusion, then encoding
 (reference: minigrid/minigrid_env.py:597-650, minigrid/core/grid.py:110-143,
 :244-268, :291-328).  Here slice+rotate collapse into ONE direction-
-parameterized gather, and the sequential occlusion sweep becomes a
-closed-form cummax flood — both fully vectorizable over the env batch.
+parameterized one-hot read of the packed grid, and the sequential occlusion
+sweep becomes a closed-form cummax flood — both fully vectorizable over the
+env batch (gathers are avoided: a TPU row-gather costs ~5x a fused one-hot
+reduce at rollout batch sizes, tools/perf_probe.py).
 
 View coordinates: the agent sits at (v//2, v-1) facing "up" (decreasing j).
 For view cell (vi, vj) the world coordinate is
@@ -23,37 +25,51 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from minigrid_tpu.core.constants import (
-    DIR_TO_VEC,
     OBJ_EMPTY,
     WALL_CELL,
+    carry_color,
+    carry_type,
+    cell,
+    cell_state,
+    cell_type,
     see_behind,
+    unpack_grid,
 )
 
+_DX = jnp.array([1, 0, -1, 0], dtype=jnp.int32)
+_DY = jnp.array([0, 1, 0, -1], dtype=jnp.int32)
 
-def view_world_coords(agent_pos, agent_dir, view_size: int):
-    """int32 [v, v, 2] world coordinates of each view cell (may be OOB)."""
+
+def view_world_coords(agent_x, agent_y, agent_dir, view_size: int):
+    """int32 [v, v] world x and y coordinates of each view cell (may be OOB)."""
     v = view_size
-    f = DIR_TO_VEC[agent_dir]  # [2]
-    r = jnp.stack([-f[1], f[0]])  # right vector
-    vi = jnp.arange(v, dtype=jnp.int32)[:, None, None]  # view column
-    vj = jnp.arange(v, dtype=jnp.int32)[None, :, None]  # view row
-    return agent_pos[None, None, :] + f * (v - 1 - vj) - r * (v // 2 - vi)
+    fx, fy = _DX[agent_dir], _DY[agent_dir]
+    rx, ry = -fy, fx  # right vector
+    vi = jnp.arange(v, dtype=jnp.int32)[:, None]  # view column
+    vj = jnp.arange(v, dtype=jnp.int32)[None, :]  # view row
+    wx = agent_x + fx * (v - 1 - vj) - rx * (v // 2 - vi)
+    wy = agent_y + fy * (v - 1 - vj) - ry * (v // 2 - vi)
+    return wx, wy
 
 
-def extract_view(grid: jnp.ndarray, agent_pos, agent_dir, view_size: int):
-    """Gather the uint8[v, v, 3] agent-frame view; out-of-bounds reads as Wall.
+def extract_view(grid: jnp.ndarray, agent_x, agent_y, agent_dir, view_size: int):
+    """One-hot-read the packed int32[v, v] agent-frame view; out-of-bounds
+    reads as Wall.
 
     Matches reference ``Grid.slice`` OOB behavior
     (minigrid/core/grid.py:136-141) composed with the rotations of
     ``gen_obs_grid`` (minigrid/minigrid_env.py:609-612).
     """
     width, height = grid.shape[:2]
-    coords = view_world_coords(agent_pos, agent_dir, view_size)
-    x, y = coords[..., 0], coords[..., 1]
-    inb = (x >= 0) & (x < width) & (y >= 0) & (y < height)
-    flat_idx = jnp.clip(x, 0, width - 1) * height + jnp.clip(y, 0, height - 1)
-    cells = grid.reshape(width * height, 3)[flat_idx]
-    return jnp.where(inb[..., None], cells, WALL_CELL)
+    v = view_size
+    wx, wy = view_world_coords(agent_x, agent_y, agent_dir, v)
+    inb = (wx >= 0) & (wx < width) & (wy >= 0) & (wy < height)
+    flat_idx = jnp.clip(wx, 0, width - 1) * height + jnp.clip(wy, 0, height - 1)
+    # [v*v, W*H] one-hot contraction, fused by XLA into one pass over the grid.
+    gridf = grid.reshape(width * height)
+    onehot = flat_idx.reshape(v * v, 1) == jnp.arange(width * height, dtype=jnp.int32)
+    cells = jnp.max(jnp.where(onehot, gridf, 0), axis=-1).reshape(v, v)
+    return jnp.where(inb, cells, WALL_CELL)
 
 
 def _flood_right(m0: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
@@ -100,7 +116,6 @@ def process_vis(trans: jnp.ndarray) -> jnp.ndarray:
     v = trans.shape[-1]
     agent_row = jnp.zeros((v,), dtype=bool).at[v // 2].set(True)
 
-    cols = []  # mask columns-by-row, built top-down at the end
     up = jnp.zeros((v,), dtype=bool)
     rows_out = [None] * v
     m_init = agent_row
@@ -117,18 +132,31 @@ def process_vis(trans: jnp.ndarray) -> jnp.ndarray:
         new_up = new_up | cond_l | _shift_down(cond_l)
         rows_out[j] = m_l
         up = new_up
-    del cols
     return jnp.stack(rows_out, axis=1)  # [i, j]
 
 
-def gen_obs_image(
-    grid: jnp.ndarray,
-    agent_pos,
-    agent_dir,
-    carrying,
-    view_size: int,
-    see_through_walls: bool,
-) -> jnp.ndarray:
+def view_and_vis(state, view_size: int, see_through_walls: bool):
+    """Packed int32[v, v] view (agent cell overridden with the carried
+    object) and bool[v, v] visibility mask."""
+    v = view_size
+    cells = extract_view(
+        state.grid, state.agent_x, state.agent_y, state.agent_dir, v
+    )
+    if see_through_walls:
+        vis = jnp.ones((v, v), dtype=bool)
+    else:
+        vis = process_vis(see_behind(cell_type(cells), cell_state(cells)))
+    # Carried object (or empty) shown at the agent cell
+    # (reference: minigrid/minigrid_env.py:623-630).
+    carry = state.carrying
+    agent_cell = jnp.where(
+        carry != 0, cell(carry_type(carry), carry_color(carry)), cell(OBJ_EMPTY)
+    )
+    cells = cells.at[v // 2, v - 1].set(agent_cell)
+    return cells, vis
+
+
+def gen_obs_image(state, view_size: int, see_through_walls: bool) -> jnp.ndarray:
     """uint8[v, v, 3] encoded partial observation.
 
     Pipeline parity with reference ``gen_obs_grid``/``gen_obs``
@@ -136,33 +164,11 @@ def gen_obs_image(
     see_through_walls), overwrite the agent cell with the carried object (or
     empty), zero out invisible cells ("unseen" encoding).
     """
-    v = view_size
-    cells = extract_view(grid, agent_pos, agent_dir, v)
-    if see_through_walls:
-        vis = jnp.ones((v, v), dtype=bool)
-    else:
-        vis = process_vis(see_behind(cells[..., 0], cells[..., 2]))
-    # Carried object (or empty) shown at the agent cell
-    # (reference: minigrid/minigrid_env.py:623-630).
-    has_item = carrying[0] != 0
-    agent_cell = jnp.where(
-        has_item,
-        jnp.stack([carrying[0], carrying[1], jnp.zeros((), jnp.uint8)]),
-        jnp.array([OBJ_EMPTY, 0, 0], dtype=jnp.uint8),
-    )
-    cells = cells.at[v // 2, v - 1].set(agent_cell)
-    image = jnp.where(vis[..., None], cells, jnp.zeros((), jnp.uint8))
-    return image
+    cells, vis = view_and_vis(state, view_size, see_through_walls)
+    return unpack_grid(jnp.where(vis, cells, 0))
 
 
 def gen_obs(state, view_size: int, see_through_walls: bool):
     """Full observation dict for one env state."""
-    image = gen_obs_image(
-        state.grid,
-        state.agent_pos,
-        state.agent_dir,
-        state.carrying,
-        view_size,
-        see_through_walls,
-    )
+    image = gen_obs_image(state, view_size, see_through_walls)
     return {"image": image, "direction": state.agent_dir, "mission": state.mission}

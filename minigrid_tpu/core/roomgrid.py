@@ -35,14 +35,18 @@ from minigrid_tpu.core.constants import (
     SORTED_COLOR_IDX,
     STATE_CLOSED,
     STATE_LOCKED,
+    WALL_CELL,
+    cell,
+    cell_type,
+    with_state,
 )
 from minigrid_tpu.core.sampling import randint, sample_mask_cell
 
 # Object kinds in the reference's draw order ["key", "ball", "box"]
 # (minigrid/core/roomgrid.py:210).
-KIND_TABLE = jnp.asarray(np.array([OBJ_KEY, OBJ_BALL, OBJ_BOX], np.uint8))
-_COMBO_KIND = jnp.asarray(np.repeat(np.array([OBJ_KEY, OBJ_BALL, OBJ_BOX], np.uint8), 6))
-_COMBO_COLOR = jnp.asarray(np.tile(np.asarray(SORTED_COLOR_IDX, np.uint8), 3))
+KIND_TABLE = jnp.asarray(np.array([OBJ_KEY, OBJ_BALL, OBJ_BOX], np.int32))
+_COMBO_KIND = jnp.asarray(np.repeat(np.array([OBJ_KEY, OBJ_BALL, OBJ_BOX], np.int32), 6))
+_COMBO_COLOR = jnp.asarray(np.tile(np.asarray(SORTED_COLOR_IDX, np.int32), 3))
 
 
 from flax import struct
@@ -53,7 +57,7 @@ class RoomGridState:
     """Traced construction state (all fields are jnp arrays; the lattice
     geometry is static on the builder)."""
 
-    grid: jnp.ndarray  # uint8[W, H, 3]
+    grid: jnp.ndarray  # int32[W, H] packed
     door_y: jnp.ndarray  # int32[rows, cols]
     door_x: jnp.ndarray  # int32[rows, cols]
     open_right: jnp.ndarray  # bool[rows, cols]
@@ -90,7 +94,7 @@ class RoomGridBuilder:
         w, h = self.width, self.height
         xs, ys = np.arange(w), np.arange(h)
         lattice = (xs[:, None] % rs == 0) | (ys[None, :] % rs == 0)
-        grid = g.put(g.empty_grid(w, h), jnp.asarray(lattice), jnp.asarray([OBJ_WALL, 5, 0], jnp.uint8))
+        grid = g.put(g.empty_grid(w, h), jnp.asarray(lattice), WALL_CELL)
 
         # Door slots: right-wall y in [top+1, top+rs), bottom-wall x likewise
         # (reference :159-164), one uniform draw per interior wall.
@@ -186,16 +190,14 @@ class RoomGridBuilder:
             k = self.random_free_wall(k_wall, s, i, j)
         if color is None:
             color = jnp.asarray(SORTED_COLOR_IDX)[randint(k_color, 0, 6)]
-        color = jnp.asarray(color, jnp.uint8)
+        color = jnp.asarray(color, jnp.int32)
         if locked is None:
             locked = randint(k_locked, 0, 2) == 0  # reference _rand_bool
         locked = jnp.asarray(locked)
 
         x, y, _, _, _, _ = self.door_slot(s, i, j, k)
-        door_state = jnp.where(locked, STATE_LOCKED, STATE_CLOSED).astype(jnp.uint8)
-        grid = g.set_cell(
-            s.grid, x, y, jnp.stack([jnp.asarray(OBJ_DOOR, jnp.uint8), color, door_state])
-        )
+        door_state = jnp.where(locked, STATE_LOCKED, STATE_CLOSED)
+        grid = g.set_cell(s.grid, x, y, cell(OBJ_DOOR, color, door_state))
         s = s.replace(grid=grid)
         s = self._set_wall_open(s, i, j, k)
         # room.locked is set on the room add_door was called on (reference :260).
@@ -247,12 +249,11 @@ class RoomGridBuilder:
         k_kind, k_color, k_place = jax.random.split(key, 3)
         if kind is None:
             kind = KIND_TABLE[randint(k_kind, 0, 3)]
-        kind = jnp.asarray(kind, jnp.uint8)
+        kind = jnp.asarray(kind, jnp.int32)
         if color is None:
             color = jnp.asarray(SORTED_COLOR_IDX)[randint(k_color, 0, 6)]
-        color = jnp.asarray(color, jnp.uint8)
-        cell_value = jnp.stack([kind, color, jnp.zeros((), jnp.uint8)])
-        s, pos = self.place_in_room(k_place, s, i, j, cell_value)
+        color = jnp.asarray(color, jnp.int32)
+        s, pos = self.place_in_room(k_place, s, i, j, cell(kind, color))
         combo_idx = self._combo_index(kind, color)
         s = s.replace(combo_present=s.combo_present.at[combo_idx].set(True))
         return s, kind, color, pos
@@ -280,7 +281,7 @@ class RoomGridBuilder:
 
         w, h = self.width, self.height
         free = g.free_mask(s.grid) & self.room_interior_mask(i, j)
-        obj = s.grid[:, :, 0]
+        obj = cell_type(s.grid)
         front_ok_map = (obj == OBJ_EMPTY) | (obj == OBJ_WALL)
         # front_ok[x, y, d] = front_ok_map at (x, y) + DIR_TO_VEC[d]; free
         # cells are interior so the shifted reads stay in bounds.
@@ -306,10 +307,8 @@ class RoomGridBuilder:
     def open_all_doors(self, s: RoomGridState) -> RoomGridState:
         """Set every door's state to open (reference
         minigrid/envs/babyai/core/roomgrid_level.py:237-247)."""
-        is_door = s.grid[:, :, 0] == OBJ_DOOR
-        grid = s.grid.at[:, :, 2].set(
-            jnp.where(is_door, jnp.uint8(0), s.grid[:, :, 2])
-        )
+        is_door = cell_type(s.grid) == OBJ_DOOR
+        grid = jnp.where(is_door, with_state(s.grid, 0), s.grid)
         return s.replace(grid=grid)
 
     # -- connectivity ------------------------------------------------------------
@@ -379,11 +378,8 @@ class RoomGridBuilder:
                 jax.random.fold_in(kc, 1), (), 0, max(n_colors - 1, 1), dtype=jnp.int32
             )
             idx = jnp.where(has_excl, r_less + (r_less >= excl_pos), r_full)
-            color = color_table[idx].astype(jnp.uint8)
-            door_cell = jnp.stack(
-                [jnp.asarray(OBJ_DOOR, jnp.uint8), color, jnp.asarray(STATE_CLOSED, jnp.uint8)]
-            )
-            new_grid = g.set_cell(s.grid, x, y, door_cell)
+            color = color_table[idx]
+            new_grid = g.set_cell(s.grid, x, y, cell(OBJ_DOOR, color, STATE_CLOSED))
             new_or = jnp.where(horizontal, s.open_right.at[oj, oi].set(True), s.open_right)
             new_od = jnp.where(horizontal, s.open_down, s.open_down.at[oj, oi].set(True))
             s = s.replace(
@@ -420,7 +416,7 @@ class RoomGridBuilder:
                 kind = _COMBO_KIND[combo]
                 color = _COMBO_COLOR[combo]
             else:
-                color = jnp.asarray(SORTED_COLOR_IDX)[randint(kc, 0, 6)].astype(jnp.uint8)
+                color = jnp.asarray(SORTED_COLOR_IDX)[randint(kc, 0, 6)]
                 kind = KIND_TABLE[randint(kk, 0, 3)]
             ri = randint(kri, 0, self.num_cols) if i is None else i
             rj = randint(krj, 0, self.num_rows) if j is None else j

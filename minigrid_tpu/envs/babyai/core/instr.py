@@ -29,7 +29,14 @@ from minigrid_tpu.core.constants import (
     OBJ_BOX,
     OBJ_DOOR,
     STATE_OPEN,
+    carry_type,
+    cell_color,
+    cell_state,
+    cell_type,
 )
+
+_DX = jnp.array([1, 0, -1, 0], dtype=jnp.int32)
+_DY = jnp.array([0, 1, 0, -1], dtype=jnp.int32)
 
 # Leaf kinds
 LEAF_NONE = -1
@@ -116,8 +123,8 @@ def desc_match_mask(
     direction predicate relative to the agent's start pose, restricted to the
     agent's start room."""
     w, h = grid.shape[:2]
-    t = grid[:, :, 0].astype(jnp.int32)
-    c = grid[:, :, 1].astype(jnp.int32)
+    t = cell_type(grid).astype(jnp.int32)
+    c = cell_color(grid).astype(jnp.int32)
     # The reference iterates every non-None cell (verifier.py:120-124);
     # level grammars only ever describe box/ball/key/door, but we keep the
     # same candidate set for faithfulness.
@@ -156,21 +163,30 @@ def _dilate4(m: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _leaf_statuses(instr: InstrState, prev_state, state, action):
-    """Candidate status of each leaf given its stored memory (pure)."""
+def _fwd_mask(state):
+    """One-hot bool[W, H] of the (clipped) cell in front of the agent —
+    mask-based reads/writes instead of dynamic indexing (TPU gathers cost
+    ~5x a fused one-hot reduce at rollout batch sizes, tools/perf_probe.py)."""
     w, h = state.grid.shape[:2]
+    fx = jnp.clip(state.agent_x + _DX[state.agent_dir], 0, w - 1)
+    fy = jnp.clip(state.agent_y + _DY[state.agent_dir], 0, h - 1)
+    xs = jnp.arange(w, dtype=jnp.int32)[:, None]
+    ys = jnp.arange(h, dtype=jnp.int32)[None, :]
+    return (xs == fx) & (ys == fy)
+
+
+def _leaf_statuses(instr: InstrState, prev_state, state, action, fmask_prev):
+    """Candidate status of each leaf given its stored memory (pure)."""
     a = jnp.asarray(action, jnp.int32)
-    fwd_prev = prev_state.agent_pos + DIR_TO_VEC[prev_state.agent_dir]
-    fwd_prev = jnp.stack(
-        [jnp.clip(fwd_prev[0], 0, w - 1), jnp.clip(fwd_prev[1], 0, h - 1)]
-    )
-    fwd_now = state.agent_pos + DIR_TO_VEC[state.agent_dir]
-    fwd_now = jnp.stack(
-        [jnp.clip(fwd_now[0], 0, w - 1), jnp.clip(fwd_now[1], 0, h - 1)]
-    )
-    fcell_now = state.grid[fwd_now[0], fwd_now[1]]
-    carrying_now = state.carrying[0] != 0
-    dropped = (prev_state.carrying[0] != 0) & ~carrying_now
+    fmask_now = _fwd_mask(state)
+    fcell_now = jnp.max(jnp.where(fmask_now, state.grid, 0))
+    fnow_type = cell_type(fcell_now)
+    fnow_state = cell_state(fcell_now)
+    carrying_now = carry_type(state.carrying) != 0
+    dropped = (carry_type(prev_state.carrying) != 0) & ~carrying_now
+
+    at_fwd_prev = jnp.any(instr.gridm & fmask_prev, axis=(-2, -1))  # [4, 2]
+    poss_at_now = jnp.any(instr.poss & fmask_now, axis=(-2, -1))  # [4, 2]
 
     statuses = []
     for leaf in range(4):
@@ -179,15 +195,15 @@ def _leaf_statuses(instr: InstrState, prev_state, state, action):
         # OPEN (verifier.py:268-285): toggle onto a tracked, now-open door.
         open_succ = (
             (a == Actions.toggle)
-            & instr.gridm[leaf, 0, fwd_prev[0], fwd_prev[1]]
-            & (fcell_now[0] == OBJ_DOOR)
-            & (fcell_now[2] == STATE_OPEN)
+            & at_fwd_prev[leaf, 0]
+            & (fnow_type == OBJ_DOOR)
+            & (fnow_state == STATE_OPEN)
         )
         open_fail = (
-            strict & (a == Actions.toggle) & (fcell_now[0] == OBJ_DOOR) & ~open_succ
+            strict & (a == Actions.toggle) & (fnow_type == OBJ_DOOR) & ~open_succ
         )
         # GOTO (verifier.py:307-314): facing a tracked position.
-        goto_succ = instr.poss[leaf, 0, fwd_now[0], fwd_now[1]]
+        goto_succ = poss_at_now[leaf, 0]
         # PICKUP (verifier.py:341-361).
         pickup_succ = (
             (a == Actions.pickup) & instr.pre_none[leaf] & instr.carried[leaf, 0]
@@ -195,7 +211,7 @@ def _leaf_statuses(instr: InstrState, prev_state, state, action):
         pickup_fail = strict & (a == Actions.pickup) & carrying_now & ~pickup_succ
         # PUTNEXT (verifier.py:409-433): successful drop of a tracked move
         # object next to a tracked fixed position (poss updated pre-verify).
-        near_fixed = _dilate4(instr.poss[leaf, 1])[fwd_now[0], fwd_now[1]]
+        near_fixed = jnp.any(_dilate4(instr.poss[leaf, 1]) & fmask_now)
         put_succ = (
             (a == Actions.drop) & dropped & instr.pre_move_tracked[leaf] & near_fixed
         )
@@ -241,35 +257,30 @@ def verify_step(instr: InstrState, prev_state, state, action):
     bookkeeping, poss refresh on drop, then the instruction state machine.
     Returns (instr', status) with status in {continue, success, failure}.
     """
-    w, h = state.grid.shape[:2]
     a = jnp.asarray(action, jnp.int32)
-    fwd = prev_state.agent_pos + DIR_TO_VEC[prev_state.agent_dir]
-    fx = jnp.clip(fwd[0], 0, w - 1)
-    fy = jnp.clip(fwd[1], 0, h - 1)
+    fmask_prev = _fwd_mask(prev_state)  # [W, H]
 
-    picked = (prev_state.carrying[0] == 0) & (state.carrying[0] != 0)
-    dropped = (prev_state.carrying[0] != 0) & (state.carrying[0] == 0)
-    prev_fcell = prev_state.grid[fx, fy]
-    now_fcell = state.grid[fx, fy]
+    picked = (carry_type(prev_state.carrying) == 0) & (carry_type(state.carrying) != 0)
+    dropped = (carry_type(prev_state.carrying) != 0) & (carry_type(state.carrying) == 0)
+    prev_fcell = jnp.max(jnp.where(fmask_prev, prev_state.grid, 0))
+    now_fcell = jnp.max(jnp.where(fmask_prev, state.grid, 0))
     box_consumed = (
-        (a == Actions.toggle) & (prev_fcell[0] == OBJ_BOX) & (now_fcell[0] != OBJ_BOX)
+        (a == Actions.toggle)
+        & (cell_type(prev_fcell) == OBJ_BOX)
+        & (cell_type(now_fcell) != OBJ_BOX)
     )
 
     gridm = instr.gridm
     carried = instr.carried
-    at_fwd = gridm[:, :, fx, fy]  # [4, 2]
+    at_fwd = jnp.any(gridm & fmask_prev, axis=(-2, -1))  # [4, 2]
     # pickup: a tracked object leaves the grid into the hand.
     carried = jnp.where(picked, carried | at_fwd, carried)
-    gridm = jnp.where(picked, gridm.at[:, :, fx, fy].set(False), gridm)
+    gridm = jnp.where(picked & fmask_prev, False, gridm)
     # drop: the held tracked object reappears at fwd.
-    gridm = jnp.where(
-        dropped & carried[:, :, None, None],
-        gridm.at[:, :, fx, fy].set(True),
-        gridm,
-    )
+    gridm = jnp.where(dropped & carried[:, :, None, None] & fmask_prev, True, gridm)
     carried = jnp.where(dropped, jnp.zeros_like(carried), carried)
     # box reveal destroys the tracked box object (contents are new objects).
-    gridm = jnp.where(box_consumed, gridm.at[:, :, fx, fy].set(False), gridm)
+    gridm = jnp.where(box_consumed & fmask_prev, False, gridm)
 
     # update_objs_poss on drop ACTION (roomgrid_level.py:89-91) — refreshes
     # obj_poss to the tracked objects currently in the grid.
@@ -277,7 +288,7 @@ def verify_step(instr: InstrState, prev_state, state, action):
 
     instr = instr.replace(gridm=gridm, carried=carried, poss=poss)
 
-    leaf_status = _leaf_statuses(instr, prev_state, state, action)
+    leaf_status = _leaf_statuses(instr, prev_state, state, action, fmask_prev)
 
     top = instr.top_kind
     # -- which leaves does the reference call this step? --
@@ -356,7 +367,7 @@ def verify_step(instr: InstrState, prev_state, state, action):
     # itself is sticky via a_succ/b_succ); calling is still gated identically.
 
     # Per-leaf memory updates where called (verifier.py:343-344, :411-412).
-    carrying_now_none = state.carrying[0] == 0
+    carrying_now_none = carry_type(state.carrying) == 0
     pre_none = jnp.where(called, carrying_now_none, instr.pre_none)
     pre_move_tracked = jnp.where(called, instr.carried[:, 0], instr.pre_move_tracked)
 

@@ -19,6 +19,9 @@ from minigrid_tpu.core.constants import (
     OBJ_KEY,
     OBJ_WALL,
     STATE_LOCKED,
+    cell_color,
+    cell_state,
+    cell_type,
 )
 from minigrid_tpu.core.env import success_reward
 from minigrid_tpu.core.roomgrid import RoomGridState
@@ -102,12 +105,12 @@ class RoomGridLevel(RoomGridEnvBase):
         if self.unblocking:
             # No instruction may reference a key whose color matches a locked
             # door (:149-191).
-            t = grid[:, :, 0]
-            locked_door = (t == OBJ_DOOR) & (grid[:, :, 2] == STATE_LOCKED)
+            t = cell_type(grid)
+            locked_door = (t == OBJ_DOOR) & (cell_state(grid) == STATE_LOCKED)
             locked_colors = jnp.zeros((6,), bool)
             for c in range(6):
                 locked_colors = locked_colors.at[c].set(
-                    (locked_door & (grid[:, :, 1] == c)).any()
+                    (locked_door & (cell_color(grid) == c)).any()
                 )
             for leaf in range(4):
                 for d in range(2):
@@ -126,7 +129,7 @@ class RoomGridLevel(RoomGridEnvBase):
         (reference roomgrid_level.py:249-301)."""
         grid = s.grid
         w, h = grid.shape[:2]
-        t = grid[:, :, 0]
+        t = cell_type(grid)
         passable = (t == OBJ_EMPTY) | (t == OBJ_DOOR)
         xs = jnp.arange(w)[:, None]
         ys = jnp.arange(h)[None, :]

@@ -13,6 +13,7 @@ from minigrid_tpu.core.constants import (
     OBJ_BALL,
     OBJ_DOOR,
     OBJ_KEY,
+    with_color,
 )
 from minigrid_tpu.core.sampling import randint
 from minigrid_tpu.envs.babyai.core.instr import (
@@ -56,10 +57,10 @@ class GoToRedBallGrey(RoomGridLevel):
         )
         # Recolor the distractors grey (reference :71-72).
         grid = s.grid
+        w, h = grid.shape[:2]
         for n in range(self.num_dists):
-            grid = grid.at[positions[n, 0], positions[n, 1], 1].set(
-                jnp.uint8(COLOR_GREY)
-            )
+            m = g.cell_mask(w, h, positions[n, 0], positions[n, 1])
+            grid = jnp.where(m, with_color(grid, COLOR_GREY), grid)
         s = s.replace(grid=grid)
         valid = self.check_objs_reachable(s)
         instr = _single_goto(b, s, s.grid, OBJ_BALL, COLOR_RED)

@@ -5,7 +5,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from minigrid_tpu.core.constants import COLOR_RED, OBJ_DOOR, SORTED_COLOR_IDX
+from minigrid_tpu.core.constants import COLOR_RED, OBJ_DOOR, SORTED_COLOR_IDX, cell_type
 from minigrid_tpu.core.sampling import randint
 from minigrid_tpu.envs.babyai.core.instr import (
     LEAF_OPEN,
@@ -52,11 +52,11 @@ class Open(RoomGridLevel):
         # doors shared between rooms uniformly, which is the same marginal
         # over physical doors since every interior door is shared exactly
         # twice).
-        is_door = s.grid[:, :, 0] == OBJ_DOOR
+        is_door = cell_type(s.grid) == OBJ_DOOR
         from minigrid_tpu.core.sampling import sample_mask_cell
 
         pos = sample_mask_cell(keys[4], is_door)
-        color = s.grid[pos[0], pos[1], 1]
+        color = cell_color(s.grid[pos[0], pos[1]])
         instr = _open_instr(b, s, OBJ_DOOR, color)
         return s, instr, valid
 

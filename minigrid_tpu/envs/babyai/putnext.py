@@ -111,8 +111,8 @@ class PutNext(RoomGridLevel):
         instr = state.extra["instr"]
         carrying = jnp.stack(
             [
-                instr.d_type[0, 0].astype(jnp.uint8),
-                instr.d_color[0, 0].astype(jnp.uint8),
+                instr.d_type[0, 0],
+                instr.d_color[0, 0],
                 jnp.zeros((), jnp.uint8),
                 jnp.zeros((), jnp.uint8),
             ]

@@ -13,6 +13,10 @@ from minigrid_tpu.core.constants import (
     OBJ_DOOR,
     OBJ_KEY,
     SORTED_COLOR_IDX,
+    cell,
+    cell_color,
+    cell_state,
+    cell_type,
 )
 from minigrid_tpu.core.sampling import randint
 from minigrid_tpu.envs.babyai.core.instr import (
@@ -116,8 +120,8 @@ class KeyInBox(RoomGridLevel):
         keys = jax.random.split(key, 5)
         s = b.init(keys[0])
         s, door_color, _ = b.add_door(keys[1], s, 1, 1, None, locked=True)
-        box_color = jnp.asarray(SORTED_COLOR_IDX)[randint(keys[2], 0, 6)].astype(jnp.uint8)
-        box_cell = jnp.stack([jnp.asarray(OBJ_BOX, jnp.uint8), box_color, jnp.zeros((), jnp.uint8)])
+        box_color = jnp.asarray(SORTED_COLOR_IDX)[randint(keys[2], 0, 6)]
+        box_cell = cell(jnp.asarray(OBJ_BOX, jnp.int32), box_color)
         s, pos = b.place_in_room(keys[3], s, 1, 1, box_cell)
         s = b.place_agent(keys[4], s, 1, 1)
         instr = _single(b, s, LEAF_OPEN, OBJ_DOOR)
@@ -128,15 +132,15 @@ class KeyInBox(RoomGridLevel):
         state = super()._generate(key)
         # The box hides the door key; rebuild contains from the grid (the
         # single box cell) since gen_attempt runs inside a while_loop.
-        is_box = state.grid[:, :, 0] == OBJ_BOX
+        is_box = cell_type(state.grid) == OBJ_BOX
         # Door color: the unique locked door in the grid.
-        is_locked = (state.grid[:, :, 0] == OBJ_DOOR) & (state.grid[:, :, 2] == 2)
+        is_locked = (cell_type(state.grid) == OBJ_DOOR) & (cell_state(state.grid) == 2)
         door_color = (
-            jnp.where(is_locked, state.grid[:, :, 1], 0).astype(jnp.int32).sum()
-        ).astype(jnp.uint8)
+            jnp.where(is_locked, cell_color(state.grid), 0).astype(jnp.int32).sum()
+        )
         contains = jnp.where(
             is_box[:, :, None],
-            jnp.stack([jnp.asarray(OBJ_KEY, jnp.uint8), door_color]),
+            jnp.stack([jnp.asarray(OBJ_KEY, jnp.int32), door_color]),
             state.contains,
         )
         return state.replace(contains=contains)
@@ -183,11 +187,11 @@ class BlockedUnlockPickup(RoomGridLevel):
         s = b.init(keys[0])
         s, _, _, _ = b.add_object(keys[1], s, 1, 0, kind=OBJ_BOX)
         s, door_color, pos = b.add_door(keys[2], s, 0, 0, 0, locked=True)
-        ball_color = jnp.asarray(SORTED_COLOR_IDX)[randint(keys[3], 0, 6)].astype(jnp.uint8)
+        ball_color = jnp.asarray(SORTED_COLOR_IDX)[randint(keys[3], 0, 6)]
         s = s.replace(
             grid=g.set_cell(
                 s.grid, pos[0] - 1, pos[1],
-                jnp.stack([jnp.asarray(OBJ_BALL, jnp.uint8), ball_color, jnp.zeros((), jnp.uint8)]),
+                cell(jnp.asarray(OBJ_BALL, jnp.int32), ball_color),
             )
         )
         s, _, _, _ = b.add_object(keys[4], s, 0, 0, kind=OBJ_KEY, color=door_color)
@@ -209,7 +213,7 @@ class UnlockToUnlock(RoomGridLevel):
         b = self.builder
         keys = jax.random.split(key, 8)
         s = b.init(keys[0])
-        colors = jnp.asarray(SORTED_COLOR_IDX)[jax.random.permutation(keys[1], 6)[:2]].astype(jnp.uint8)
+        colors = jnp.asarray(SORTED_COLOR_IDX)[jax.random.permutation(keys[1], 6)[:2]]
         s, _, _ = b.add_door(keys[2], s, 0, 0, 0, color=colors[0], locked=True)
         s, _, _, _ = b.add_object(keys[3], s, 2, 0, kind=OBJ_KEY, color=colors[0])
         s, _, _ = b.add_door(keys[4], s, 1, 0, 0, color=colors[1], locked=True)

@@ -101,13 +101,16 @@ class DynamicObstaclesEnv(MiniGridEnv):
         )
 
     def _pre_step(self, key: jax.Array, state: EnvState, action) -> EnvState:
-        from minigrid_tpu.core.constants import DIR_TO_VEC
+        from minigrid_tpu.core.constants import cell_type
 
+        _DX = jnp.array([1, 0, -1, 0], jnp.int32)
+        _DY = jnp.array([0, 1, 0, -1], jnp.int32)
         w, h = self.width, self.height
         # "not clear" check happens BEFORE obstacles move (reference :141-143).
-        fwd = state.agent_pos + DIR_TO_VEC[state.agent_dir]
-        fcell = g.get_cell(state.grid, jnp.clip(fwd[0], 0, w - 1), jnp.clip(fwd[1], 0, h - 1))
-        not_clear = (fcell[0] != OBJ_EMPTY) & (fcell[0] != OBJ_GOAL)
+        fx = jnp.clip(state.agent_x + _DX[state.agent_dir], 0, w - 1)
+        fy = jnp.clip(state.agent_y + _DY[state.agent_dir], 0, h - 1)
+        ft = cell_type(g.get_cell(state.grid, fx, fy))
+        not_clear = (ft != OBJ_EMPTY) & (ft != OBJ_GOAL)
 
         grid = state.grid
         obstacles = state.extra["obstacles"]

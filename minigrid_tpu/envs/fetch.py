@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from minigrid_tpu.core import grid as g
-from minigrid_tpu.core.constants import OBJ_BALL, OBJ_KEY, SORTED_COLOR_IDX
+from minigrid_tpu.core.constants import OBJ_BALL, OBJ_KEY, SORTED_COLOR_IDX, carry_color, carry_type, cell
 from minigrid_tpu.core.env import MiniGridEnv, success_reward
 from minigrid_tpu.core.mission import mission_vec, register_mission
 from minigrid_tpu.core.sampling import place_obj_pos, rand_dir, randint
@@ -43,14 +43,14 @@ class FetchEnv(MiniGridEnv):
         keys = jax.random.split(key, 3 * n + 5)
         grid = g.wall_rect(g.empty_grid(w, h), 0, 0, w, h)
 
-        types = jnp.zeros((n,), jnp.uint8)
-        colors = jnp.zeros((n,), jnp.uint8)
+        types = jnp.zeros((n,), jnp.int32)
+        colors = jnp.zeros((n,), jnp.int32)
         for i in range(n):
             # Independent draws, duplicates allowed (reference :120-136).
-            t = jnp.where(randint(keys[3 * i], 0, 2) == 0, OBJ_KEY, OBJ_BALL).astype(jnp.uint8)
-            c = jnp.asarray(SORTED_COLOR_IDX)[randint(keys[3 * i + 1], 0, 6)].astype(jnp.uint8)
+            t = jnp.where(randint(keys[3 * i], 0, 2) == 0, OBJ_KEY, OBJ_BALL)
+            c = jnp.asarray(SORTED_COLOR_IDX)[randint(keys[3 * i + 1], 0, 6)]
             pos = place_obj_pos(keys[3 * i + 2], grid)
-            grid = g.set_cell(grid, pos[0], pos[1], jnp.stack([t, c, jnp.zeros((), jnp.uint8)]))
+            grid = g.set_cell(grid, pos[0], pos[1], cell(t, c))
             types = types.at[i].set(t)
             colors = colors.at[i].set(c)
 
@@ -74,10 +74,10 @@ class FetchEnv(MiniGridEnv):
         )
 
     def _post_step(self, prev_state, state, action, reward):
-        carrying = state.carrying[0] != 0
+        carrying = carry_type(state.carrying) != 0
         match = (
-            (state.carrying[0].astype(jnp.int32) == state.extra["target_type"])
-            & (state.carrying[1].astype(jnp.int32) == state.extra["target_color"])
+            (carry_type(state.carrying).astype(jnp.int32) == state.extra["target_type"])
+            & (carry_color(state.carrying).astype(jnp.int32) == state.extra["target_color"])
         )
         reward = jnp.where(carrying & match, success_reward(state), jnp.where(carrying, 0.0, reward))
         terminated = state.terminated | carrying

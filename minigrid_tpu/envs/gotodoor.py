@@ -7,7 +7,7 @@ import jax.numpy as jnp
 
 from minigrid_tpu.core import grid as g
 from minigrid_tpu.core.actions import Actions
-from minigrid_tpu.core.constants import OBJ_DOOR, SORTED_COLOR_IDX, STATE_CLOSED
+from minigrid_tpu.core.constants import OBJ_DOOR, SORTED_COLOR_IDX, STATE_CLOSED, cell
 from minigrid_tpu.core.env import MiniGridEnv, success_reward
 from minigrid_tpu.core.mission import mission_vec, register_mission
 from minigrid_tpu.core.sampling import place_obj_pos, rand_dir, randint
@@ -67,19 +67,10 @@ class GoToDoorEnv(MiniGridEnv):
         # == uniform prefix of a permutation).
         colors = jnp.asarray(SORTED_COLOR_IDX)[
             jax.random.permutation(keys[6], 6)[:4]
-        ].astype(jnp.uint8)
+        ]
         for i in range(4):
             grid = g.set_cell(
-                grid,
-                door_x[i],
-                door_y[i],
-                jnp.stack(
-                    [
-                        jnp.asarray(OBJ_DOOR, jnp.uint8),
-                        colors[i],
-                        jnp.asarray(STATE_CLOSED, jnp.uint8),
-                    ]
-                ),
+                grid, door_x[i], door_y[i], cell(OBJ_DOOR, colors[i], STATE_CLOSED)
             )
 
         agent_pos = place_obj_pos(keys[7], grid, size=(rw, rh))

@@ -8,7 +8,7 @@ import numpy as np
 
 from minigrid_tpu.core import grid as g
 from minigrid_tpu.core.actions import Actions
-from minigrid_tpu.core.constants import OBJ_BALL, OBJ_BOX, OBJ_KEY, SORTED_COLOR_IDX
+from minigrid_tpu.core.constants import OBJ_BALL, OBJ_BOX, OBJ_KEY, SORTED_COLOR_IDX, cell
 from minigrid_tpu.core.env import MiniGridEnv, success_reward
 from minigrid_tpu.core.mission import mission_vec, register_mission
 from minigrid_tpu.core.sampling import place_obj_pos, rand_dir, randint
@@ -19,9 +19,9 @@ _MISSION = register_mission("go to the {0} {1}", ("color", "type"))
 # All (type, color) combinations in the reference's draw order semantics:
 # distinct pairs sampled uniformly (rejection loop reference :107-113 ==
 # uniform prefix of a permutation over the 18 combos).
-_TYPES = np.array([OBJ_KEY, OBJ_BALL, OBJ_BOX], np.uint8)
+_TYPES = np.array([OBJ_KEY, OBJ_BALL, OBJ_BOX], np.int32)
 _COMBO_TYPE = np.repeat(_TYPES, 6)
-_COMBO_COLOR = np.tile(np.asarray(SORTED_COLOR_IDX, np.uint8), 3)
+_COMBO_COLOR = np.tile(np.asarray(SORTED_COLOR_IDX, np.int32), 3)
 
 
 class GoToObjectEnv(MiniGridEnv):
@@ -52,10 +52,7 @@ class GoToObjectEnv(MiniGridEnv):
         positions = jnp.zeros((n, 2), jnp.int32)
         for i in range(n):
             pos = place_obj_pos(keys[1 + i], grid)
-            grid = g.set_cell(
-                grid, pos[0], pos[1],
-                jnp.stack([types[i], colors[i], jnp.zeros((), jnp.uint8)]),
-            )
+            grid = g.set_cell(grid, pos[0], pos[1], cell(types[i], colors[i]))
             positions = positions.at[i].set(pos)
 
         agent_pos = place_obj_pos(keys[-3], grid)

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from minigrid_tpu.core.actions import Actions
-from minigrid_tpu.core.constants import OBJ_BALL, OBJ_KEY
+from minigrid_tpu.core.constants import OBJ_BALL, OBJ_KEY, carry_color, carry_type
 from minigrid_tpu.core.env import success_reward
 from minigrid_tpu.core.mission import mission_vec
 from minigrid_tpu.core.sampling import randint
@@ -69,8 +69,8 @@ class KeyCorridorEnv(RoomGridEnvBase):
     def _post_step(self, prev_state, state, action, reward):
         success = (
             (jnp.asarray(action, jnp.int32) == Actions.pickup)
-            & (state.carrying[0] == self.obj_kind)
-            & (state.carrying[1].astype(jnp.int32) == state.extra["target_color"])
+            & (carry_type(state.carrying) == self.obj_kind)
+            & (carry_color(state.carrying).astype(jnp.int32) == state.extra["target_color"])
         )
         reward = jnp.where(success, success_reward(state), reward)
         return state.replace(terminated=state.terminated | success), reward

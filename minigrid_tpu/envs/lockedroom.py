@@ -15,6 +15,7 @@ from minigrid_tpu.core.constants import (
     STATE_CLOSED,
     STATE_LOCKED,
     WALL_CELL,
+    cell,
 )
 from minigrid_tpu.core.env import MiniGridEnv
 from minigrid_tpu.core.mission import mission_vec, register_mission
@@ -81,15 +82,12 @@ class LockedRoomEnv(MiniGridEnv):
 
         # Door colors: a random permutation of all six (reference :139-147
         # removes each sampled color from the pool).
-        colors = jnp.asarray(SORTED_COLOR_IDX)[jax.random.permutation(keys[3], 6)].astype(jnp.uint8)
+        colors = jnp.asarray(SORTED_COLOR_IDX)[jax.random.permutation(keys[3], 6)]
         for r in range(6):
             is_locked = locked_idx == r
-            door_state = jnp.where(is_locked, STATE_LOCKED, STATE_CLOSED).astype(jnp.uint8)
+            door_state = jnp.where(is_locked, STATE_LOCKED, STATE_CLOSED)
             grid = g.set_cell(
-                grid,
-                doors[r][0],
-                doors[r][1],
-                jnp.stack([jnp.asarray(OBJ_DOOR, jnp.uint8), colors[r], door_state]),
+                grid, doors[r][0], doors[r][1], cell(OBJ_DOOR, colors[r], door_state)
             )
         locked_color = colors[locked_idx]
 
@@ -101,7 +99,7 @@ class LockedRoomEnv(MiniGridEnv):
         ky = kt[1] + 1 + randint(keys[6], 0, room_h - 2)
         grid = g.set_cell(
             grid, kx, ky,
-            jnp.stack([jnp.asarray(OBJ_KEY, jnp.uint8), locked_color, jnp.zeros((), jnp.uint8)]),
+            cell(jnp.asarray(OBJ_KEY, jnp.int32), locked_color),
         )
 
         # Agent in the hallway (reference :159-161).

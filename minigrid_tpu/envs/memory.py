@@ -74,18 +74,17 @@ class MemoryEnv(MiniGridEnv):
 
         # Cue and candidates (reference :134-141).
         start_is_key = randint(keys[2], 0, 2) == 0
-        cue = jnp.where(start_is_key, OBJ_KEY, OBJ_BALL).astype(jnp.uint8)
-        grid = g.set_cell(grid, 1, mid - 1, jnp.stack([cue, jnp.asarray(COLOR_GREEN, jnp.uint8), jnp.zeros((), jnp.uint8)]))
+        cue = jnp.where(start_is_key, OBJ_KEY, OBJ_BALL)
+        grid = g.set_cell(grid, 1, mid - 1, cell(cue, jnp.asarray(COLOR_GREEN, jnp.int32)))
 
         first_is_ball = randint(keys[3], 0, 2) == 0
-        obj0 = jnp.where(first_is_ball, OBJ_BALL, OBJ_KEY).astype(jnp.uint8)
-        obj1 = jnp.where(first_is_ball, OBJ_KEY, OBJ_BALL).astype(jnp.uint8)
+        obj0 = jnp.where(first_is_ball, OBJ_BALL, OBJ_KEY)
+        obj1 = jnp.where(first_is_ball, OBJ_KEY, OBJ_BALL)
         pos0 = jnp.stack([hallway_end + 1, jnp.int32(mid - 2)])
         pos1 = jnp.stack([hallway_end + 1, jnp.int32(mid + 2)])
-        green = jnp.asarray(COLOR_GREEN, jnp.uint8)
-        zero = jnp.zeros((), jnp.uint8)
-        grid = g.set_cell(grid, pos0[0], pos0[1], jnp.stack([obj0, green, zero]))
-        grid = g.set_cell(grid, pos1[0], pos1[1], jnp.stack([obj1, green, zero]))
+        green = jnp.asarray(COLOR_GREEN, jnp.int32)
+        grid = g.set_cell(grid, pos0[0], pos0[1], cell(obj0, green))
+        grid = g.set_cell(grid, pos1[0], pos1[1], cell(obj1, green))
 
         # success/failure cells one step inside (reference :144-149).
         match0 = cue == obj0

@@ -20,6 +20,7 @@ from minigrid_tpu.core.constants import (
     SORTED_COLOR_IDX,
     STATE_CLOSED,
     WALL_CELL,
+    cell,
 )
 from minigrid_tpu.core.env import MiniGridEnv
 from minigrid_tpu.core.mission import mission_vec, register_mission
@@ -218,10 +219,8 @@ class MultiRoomEnv(MiniGridEnv):
                 pos_in_sorted = jnp.where(
                     prev_color_pos < 0, r, r5 + (r5 >= prev_color_pos)
                 )
-                color = jnp.asarray(SORTED_COLOR_IDX)[pos_in_sorted].astype(jnp.uint8)
-                door_cell = jnp.stack(
-                    [jnp.asarray(OBJ_DOOR, jnp.uint8), color, jnp.asarray(STATE_CLOSED, jnp.uint8)]
-                )
+                color = jnp.asarray(SORTED_COLOR_IDX)[pos_in_sorted]
+                door_cell = cell(OBJ_DOOR, color, STATE_CLOSED)
                 new_grid = g.set_cell(grid, entries[k, 0], entries[k, 1], door_cell)
                 grid = jnp.where(active, new_grid, grid)
                 prev_color_pos = jnp.where(active, pos_in_sorted, prev_color_pos)

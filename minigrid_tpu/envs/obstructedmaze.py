@@ -17,6 +17,9 @@ from minigrid_tpu.core.constants import (
     OBJ_BOX,
     OBJ_KEY,
     SORTED_COLOR_IDX,
+    carry_color,
+    carry_type,
+    cell,
 )
 from minigrid_tpu.core.env import success_reward
 from minigrid_tpu.core.mission import mission_vec, register_mission
@@ -50,7 +53,7 @@ class ObstructedMazeEnv(RoomGridEnvBase):
     # -- building blocks -------------------------------------------------------
     def _door_colors(self, key):
         """Random permutation of the six sorted colors (reference :116)."""
-        return jnp.asarray(SORTED_COLOR_IDX)[jax.random.permutation(key, 6)].astype(jnp.uint8)
+        return jnp.asarray(SORTED_COLOR_IDX)[jax.random.permutation(key, 6)]
 
     def _add_obstructed_door(self, key, s, boxed_keys, i, j, door_idx, color, locked, key_in_box, blocked, add_key=True):
         """Reference obstructedmaze.py:136-167: door (+ blocking ball inside
@@ -59,7 +62,7 @@ class ObstructedMazeEnv(RoomGridEnvBase):
         s, color, pos = self.builder.add_door(k_door, s, i, j, door_idx, color=color, locked=locked)
         if blocked:
             dx, dy = _DIRS[door_idx]
-            ball = jnp.stack([jnp.asarray(OBJ_BALL, jnp.uint8), jnp.asarray(_BLOCK_COLOR, jnp.uint8), jnp.zeros((), jnp.uint8)])
+            ball = cell(jnp.asarray(OBJ_BALL, jnp.int32), jnp.asarray(_BLOCK_COLOR, jnp.int32))
             s = s.replace(grid=g.set_cell(s.grid, pos[0] - dx, pos[1] - dy, ball))
         if locked and add_key:
             s, boxed_keys = self._add_key(k_key, s, boxed_keys, i, j, color, key_in_box)
@@ -69,20 +72,19 @@ class ObstructedMazeEnv(RoomGridEnvBase):
         """Key of ``color`` in room (i,j), inside a grey box if key_in_box
         (reference obstructedmaze_v1.py:87-99)."""
         if key_in_box:
-            cell_value = jnp.stack([jnp.asarray(OBJ_BOX, jnp.uint8), jnp.asarray(_BOX_COLOR, jnp.uint8), jnp.zeros((), jnp.uint8)])
+            cell_value = cell(jnp.asarray(OBJ_BOX, jnp.int32), jnp.asarray(_BOX_COLOR, jnp.int32))
         else:
-            cell_value = jnp.stack([jnp.asarray(OBJ_KEY, jnp.uint8), color, jnp.zeros((), jnp.uint8)])
+            cell_value = cell(jnp.asarray(OBJ_KEY, jnp.int32), color)
         s, pos = self.builder.place_in_room(key, s, i, j, cell_value)
         if key_in_box:
             boxed_keys = boxed_keys + [(pos, color)]
         return s, boxed_keys
 
     def _finish(self, key_carry, s, boxed_keys):
-        contains = jnp.zeros((self.width, self.height, 2), jnp.uint8)
+        contains = jnp.zeros((self.width, self.height), jnp.int32)
         for pos, color in boxed_keys:
-            contains = g.set_cell_plane(
-                contains, pos[0], pos[1], jnp.stack([jnp.asarray(OBJ_KEY, jnp.uint8), color])
-            )
+            packed = jnp.asarray(OBJ_KEY, jnp.int32) | (jnp.asarray(color, jnp.int32) << 8)
+            contains = g.set_cell(contains, pos[0], pos[1], packed)
         return new_state(
             grid=s.grid,
             agent_pos=s.agent_pos,
@@ -96,8 +98,8 @@ class ObstructedMazeEnv(RoomGridEnvBase):
     def _post_step(self, prev_state, state, action, reward):
         success = (
             (jnp.asarray(action, jnp.int32) == Actions.pickup)
-            & (state.carrying[0] == OBJ_BALL)
-            & (state.carrying[1] == _BALL_COLOR)
+            & (carry_type(state.carrying) == OBJ_BALL)
+            & (carry_color(state.carrying) == _BALL_COLOR)
         )
         reward = jnp.where(success, success_reward(state), reward)
         return state.replace(terminated=state.terminated | success), reward
@@ -122,7 +124,7 @@ class ObstructedMaze_1Dlhb(ObstructedMazeEnv):
             color=colors[0], locked=True,
             key_in_box=self.key_in_box, blocked=self.blocked,
         )
-        ball = jnp.stack([jnp.asarray(OBJ_BALL, jnp.uint8), jnp.asarray(_BALL_COLOR, jnp.uint8), jnp.zeros((), jnp.uint8)])
+        ball = cell(jnp.asarray(OBJ_BALL, jnp.int32), jnp.asarray(_BALL_COLOR, jnp.int32))
         s, _ = b.place_in_room(keys[3], s, 1, 0, ball)
         s = b.place_agent(keys[4], s, 0, 0)
         return self._finish(keys[5], s, boxed)
@@ -189,7 +191,7 @@ class ObstructedMaze_Full(ObstructedMazeEnv):
         ki += 1
         corner_x = jnp.asarray(np.asarray([c[0] for c in corners], np.int32))[corner_idx]
         corner_y = jnp.asarray(np.asarray([c[1] for c in corners], np.int32))[corner_idx]
-        ball = jnp.stack([jnp.asarray(OBJ_BALL, jnp.uint8), jnp.asarray(_BALL_COLOR, jnp.uint8), jnp.zeros((), jnp.uint8)])
+        ball = cell(jnp.asarray(OBJ_BALL, jnp.int32), jnp.asarray(_BALL_COLOR, jnp.int32))
         s, _ = b.place_in_room(keys[ki], s, corner_x, corner_y, ball)
         ki += 1
         s = b.place_agent(keys[ki], s, self.agent_room[0], self.agent_room[1])

@@ -11,6 +11,7 @@ from minigrid_tpu.core.constants import (
     SORTED_COLOR_IDX,
     STATE_CLOSED,
     WALL_CELL,
+    cell,
 )
 from minigrid_tpu.core.env import MiniGridEnv
 from minigrid_tpu.core.mission import mission_vec, register_mission
@@ -49,13 +50,13 @@ class PlaygroundEnv(MiniGridEnv):
                 if i + 1 < 3:
                     grid = g.put(grid, g.vert_wall_mask(w, h, xr, yt, room_h), WALL_CELL)
                     y = randint(next_key(), yt + 1, yb - 1)
-                    c = jnp.asarray(SORTED_COLOR_IDX)[randint(next_key(), 0, 6)].astype(jnp.uint8)
-                    grid = g.set_cell(grid, xr, y, jnp.stack([jnp.asarray(OBJ_DOOR, jnp.uint8), c, jnp.asarray(STATE_CLOSED, jnp.uint8)]))
+                    c = jnp.asarray(SORTED_COLOR_IDX)[randint(next_key(), 0, 6)]
+                    grid = g.set_cell(grid, xr, y, cell(OBJ_DOOR, c, STATE_CLOSED))
                 if j + 1 < 3:
                     grid = g.put(grid, g.horz_wall_mask(w, h, xl, yb, room_w), WALL_CELL)
                     x = randint(next_key(), xl + 1, xr - 1)
-                    c = jnp.asarray(SORTED_COLOR_IDX)[randint(next_key(), 0, 6)].astype(jnp.uint8)
-                    grid = g.set_cell(grid, x, yb, jnp.stack([jnp.asarray(OBJ_DOOR, jnp.uint8), c, jnp.asarray(STATE_CLOSED, jnp.uint8)]))
+                    c = jnp.asarray(SORTED_COLOR_IDX)[randint(next_key(), 0, 6)]
+                    grid = g.set_cell(grid, x, yb, cell(OBJ_DOOR, c, STATE_CLOSED))
 
         agent_pos = place_obj_pos(next_key(), grid)
         agent_dir = rand_dir(next_key())
@@ -63,9 +64,9 @@ class PlaygroundEnv(MiniGridEnv):
         # 12 random objects (reference :71-87).
         for _ in range(12):
             kind = KIND_TABLE[randint(next_key(), 0, 3)]
-            color = jnp.asarray(SORTED_COLOR_IDX)[randint(next_key(), 0, 6)].astype(jnp.uint8)
+            color = jnp.asarray(SORTED_COLOR_IDX)[randint(next_key(), 0, 6)]
             pos = place_obj_pos(next_key(), grid, agent_pos=agent_pos)
-            grid = g.set_cell(grid, pos[0], pos[1], jnp.stack([kind, color, jnp.zeros((), jnp.uint8)]))
+            grid = g.set_cell(grid, pos[0], pos[1], cell(kind, color))
 
         return new_state(
             grid=grid,

@@ -7,7 +7,7 @@ import jax.numpy as jnp
 
 from minigrid_tpu.core import grid as g
 from minigrid_tpu.core.actions import Actions
-from minigrid_tpu.core.constants import DIR_TO_VEC
+from minigrid_tpu.core.constants import DIR_TO_VEC, carry_color, carry_type, cell
 from minigrid_tpu.core.env import MiniGridEnv, success_reward
 from minigrid_tpu.core.mission import mission_vec, register_mission
 from minigrid_tpu.core.sampling import place_obj_pos, rand_dir, randint
@@ -52,10 +52,7 @@ class PutNearEnv(MiniGridEnv):
             # reject_fn: not within chebyshev distance 1 of a placed object
             # (reference :118-124).
             pos = place_obj_pos(keys[1 + i], grid, reject=near_existing)
-            grid = g.set_cell(
-                grid, pos[0], pos[1],
-                jnp.stack([types[i], colors[i], jnp.zeros((), jnp.uint8)]),
-            )
+            grid = g.set_cell(grid, pos[0], pos[1], cell(types[i], colors[i]))
             positions = positions.at[i].set(pos)
             near_existing = near_existing | (
                 (jnp.abs(xs - pos[0]) <= 1) & (jnp.abs(ys - pos[1]) <= 1)
@@ -89,14 +86,14 @@ class PutNearEnv(MiniGridEnv):
 
     def _post_step(self, prev_state, state, action, reward):
         a = jnp.asarray(action, jnp.int32)
-        carrying = state.carrying[0] != 0
+        carrying = carry_type(state.carrying) != 0
         wrong = carrying & (
-            (state.carrying[0].astype(jnp.int32) != state.extra["move_type"])
-            | (state.carrying[1].astype(jnp.int32) != state.extra["move_color"])
+            (carry_type(state.carrying).astype(jnp.int32) != state.extra["move_type"])
+            | (carry_color(state.carrying).astype(jnp.int32) != state.extra["move_color"])
         )
         wrong_pickup = (a == Actions.pickup) & wrong
 
-        pre_carrying = prev_state.carrying[0] != 0
+        pre_carrying = carry_type(prev_state.carrying) != 0
         dropped = pre_carrying & ~carrying
         fwd = state.agent_pos + DIR_TO_VEC[state.agent_dir]
         tx, ty = state.extra["target_pos"][0], state.extra["target_pos"][1]

@@ -13,6 +13,7 @@ from minigrid_tpu.core.constants import (
     STATE_CLOSED,
     STATE_OPEN,
     cell,
+    cell_state,
 )
 from minigrid_tpu.core.env import MiniGridEnv, success_reward
 from minigrid_tpu.core.mission import mission_vec, register_mission
@@ -61,10 +62,10 @@ class RedBlueDoorEnv(MiniGridEnv):
 
     def _post_step(self, prev_state, state, action, reward):
         red, blue = state.extra["red_pos"], state.extra["blue_pos"]
-        red_before = g.get_cell(prev_state.grid, red[0], red[1])[2] == STATE_OPEN
-        blue_before = g.get_cell(prev_state.grid, blue[0], blue[1])[2] == STATE_OPEN
-        red_after = g.get_cell(state.grid, red[0], red[1])[2] == STATE_OPEN
-        blue_after = g.get_cell(state.grid, blue[0], blue[1])[2] == STATE_OPEN
+        red_before = cell_state(g.get_cell(prev_state.grid, red[0], red[1])) == STATE_OPEN
+        blue_before = cell_state(g.get_cell(prev_state.grid, blue[0], blue[1])) == STATE_OPEN
+        red_after = cell_state(g.get_cell(state.grid, red[0], red[1])) == STATE_OPEN
+        blue_after = cell_state(g.get_cell(state.grid, blue[0], blue[1])) == STATE_OPEN
 
         # blue open => success iff red was already open (reference :114-120);
         # red open after blue was open => failure (:122-125, defensive).

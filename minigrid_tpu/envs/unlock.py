@@ -14,6 +14,10 @@ from minigrid_tpu.core.constants import (
     OBJ_KEY,
     SORTED_COLOR_IDX,
     STATE_OPEN,
+    carry_color,
+    carry_type,
+    cell,
+    cell_state,
 )
 from minigrid_tpu.core.env import MiniGridEnv, success_reward
 from minigrid_tpu.core.mission import mission_vec, register_mission
@@ -69,7 +73,7 @@ class UnlockEnv(RoomGridEnvBase):
 
     def _post_step(self, prev_state, state, action, reward):
         dp = state.extra["door_pos"]
-        door_open = g.get_cell(state.grid, dp[0], dp[1])[2] == STATE_OPEN
+        door_open = cell_state(g.get_cell(state.grid, dp[0], dp[1])) == STATE_OPEN
         success = (jnp.asarray(action, jnp.int32) == Actions.toggle) & door_open
         reward = jnp.where(success, success_reward(state), reward)
         return state.replace(terminated=state.terminated | success), reward
@@ -98,13 +102,13 @@ class UnlockPickupEnv(RoomGridEnvBase):
         s, door_color, door_pos = b.add_door(k_door, s, 0, 0, 0, locked=True)
         if self.blocked:
             # Ball directly left of the door (reference blockedunlockpickup.py:98-100).
-            ball_color = jnp.asarray(SORTED_COLOR_IDX)[randint(k_ball, 0, 6)].astype(jnp.uint8)
+            ball_color = jnp.asarray(SORTED_COLOR_IDX)[randint(k_ball, 0, 6)]
             s = s.replace(
                 grid=g.set_cell(
                     s.grid,
                     door_pos[0] - 1,
                     door_pos[1],
-                    jnp.stack([jnp.asarray(OBJ_BALL, jnp.uint8), ball_color, jnp.zeros((), jnp.uint8)]),
+                    cell(jnp.asarray(OBJ_BALL, jnp.int32), ball_color),
                 )
             )
         s, _, _, _ = b.add_object(k_key, s, 0, 0, kind=OBJ_KEY, color=door_color)
@@ -122,8 +126,8 @@ class UnlockPickupEnv(RoomGridEnvBase):
     def _post_step(self, prev_state, state, action, reward):
         success = (
             (jnp.asarray(action, jnp.int32) == Actions.pickup)
-            & (state.carrying[0] == OBJ_BOX)
-            & (state.carrying[1].astype(jnp.int32) == state.extra["target_color"])
+            & (carry_type(state.carrying) == OBJ_BOX)
+            & (carry_color(state.carrying).astype(jnp.int32) == state.extra["target_color"])
         )
         reward = jnp.where(success, success_reward(state), reward)
         return state.replace(terminated=state.terminated | success), reward

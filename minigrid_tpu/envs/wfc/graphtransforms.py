@@ -101,12 +101,11 @@ class GraphTransforms:
     def minigrid_to_dense_graph(minigrids, node_attr=None, edge_config=None):
         """List of encoded grids or EnvStates -> list of node-feature graphs."""
         first = minigrids[0]
-        if hasattr(first, "grid") and hasattr(first, "agent_pos"):
+        if hasattr(first, "grid") and hasattr(first, "agent_dir"):
             layouts = []
             for s in minigrids:
-                lay = np.asarray(s.grid)[..., 0].copy()
-                pos = np.asarray(s.agent_pos)
-                lay[int(pos[0]), int(pos[1])] = OBJECT_TO_IDX["agent"]
+                lay = (np.asarray(s.grid) & 0xFF).copy()  # packed type plane
+                lay[int(s.agent_x), int(s.agent_y)] = OBJECT_TO_IDX["agent"]
                 layouts.append(lay)
             layouts = np.array(layouts)
         else:

@@ -192,14 +192,18 @@ def render_grid(
     agent_dir=None,
     highlight_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Compose uint8[H*ts, W*ts, 3] from a uint8[W, H, 3] cell grid — one
-    atlas gather + transpose, replacing the reference's per-tile Python loop
-    (grid.py:200-242)."""
+    """Compose uint8[H*ts, W*ts, 3] from a packed int32[W, H] cell grid —
+    one atlas gather + transpose, replacing the reference's per-tile Python
+    loop (grid.py:200-242).  Also accepts the uint8[W, H, 3] encoding."""
+    if grid.ndim == 3:
+        from minigrid_tpu.core.constants import pack_grid
+
+        grid = pack_grid(grid)
     w, h = grid.shape[:2]
     atlas = jnp.asarray(tile_atlas(tile_size))
-    t = jnp.asarray(grid[..., 0], jnp.int32)
-    c = jnp.asarray(grid[..., 1], jnp.int32)
-    s = jnp.asarray(grid[..., 2], jnp.int32)
+    t = jnp.asarray(grid & 0xFF, jnp.int32)
+    c = jnp.asarray((grid >> 8) & 0xFF, jnp.int32)
+    s = jnp.asarray((grid >> 16) & 0xFF, jnp.int32)
     ag = jnp.zeros((w, h), jnp.int32)
     if agent_pos is not None:
         xs = jnp.arange(w)[:, None]

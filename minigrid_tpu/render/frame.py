@@ -6,26 +6,15 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from minigrid_tpu.core import obs as obs_lib
-from minigrid_tpu.core.constants import OBJ_EMPTY, TILE_PIXELS, see_behind
+from minigrid_tpu.core.constants import TILE_PIXELS
 from minigrid_tpu.render.atlas import render_grid
 
 
 def _view_and_vis(state, view_size: int, see_through_walls: bool):
-    cells = obs_lib.extract_view(state.grid, state.agent_pos, state.agent_dir, view_size)
-    if see_through_walls:
-        vis = jnp.ones((view_size, view_size), bool)
-    else:
-        vis = obs_lib.process_vis(see_behind(cells[..., 0], cells[..., 2]))
-    has_item = state.carrying[0] != 0
-    agent_cell = jnp.where(
-        has_item,
-        jnp.stack([state.carrying[0], state.carrying[1], jnp.zeros((), jnp.uint8)]),
-        jnp.array([OBJ_EMPTY, 0, 0], dtype=jnp.uint8),
-    )
-    cells = cells.at[view_size // 2, view_size - 1].set(agent_cell)
+    cells, vis = obs_lib.view_and_vis(state, view_size, see_through_walls)
     # Invisible cells render as "unseen" (black) — the reference nulls them
     # in process_vis (grid.py:323-327).
-    cells = jnp.where(vis[..., None], cells, jnp.zeros((), jnp.uint8))
+    cells = jnp.where(vis, cells, 0)
     return cells, vis
 
 
@@ -48,8 +37,9 @@ def get_full_render(state, view_size: int, see_through_walls: bool, tile_size: i
     hl = None
     if highlight:
         _, vis = _view_and_vis(state, view_size, see_through_walls)
-        coords = obs_lib.view_world_coords(state.agent_pos, state.agent_dir, view_size)
-        x, y = coords[..., 0], coords[..., 1]
+        x, y = obs_lib.view_world_coords(
+            state.agent_x, state.agent_y, state.agent_dir, view_size
+        )
         inb = (x >= 0) & (x < w) & (y >= 0) & (y < h)
         flat = jnp.clip(x, 0, w - 1) * h + jnp.clip(y, 0, h - 1)
         hl = (
@@ -61,7 +51,7 @@ def get_full_render(state, view_size: int, see_through_walls: bool, tile_size: i
     return render_grid(
         state.grid,
         tile_size,
-        agent_pos=state.agent_pos,
+        agent_pos=(state.agent_x, state.agent_y),
         agent_dir=state.agent_dir,
         highlight_mask=hl,
     )

@@ -68,13 +68,14 @@ class DisappearedBoxError(Exception):
 @functools.lru_cache(maxsize=None)
 def _vis_fn(view_size: int):
     """Jitted helper returning (vis mask, world coords) for the current pose."""
+    from minigrid_tpu.core.constants import cell_state, cell_type
 
     @jax.jit
-    def f(grid, pos, dirn):
-        cells = extract_view(grid, pos, dirn, view_size)
-        vis = process_vis(see_behind(cells[..., 0], cells[..., 2]))
-        coords = view_world_coords(pos, dirn, view_size)
-        return vis, coords
+    def f(grid, ax, ay, dirn):
+        cells = extract_view(grid, ax, ay, dirn, view_size)
+        vis = process_vis(see_behind(cell_type(cells), cell_state(cells)))
+        wx, wy = view_world_coords(ax, ay, dirn, view_size)
+        return vis, wx, wy
 
     return f
 
@@ -455,14 +456,17 @@ class BabyAIBot:
 
     # -- per-step state snapshot ------------------------------------------------
     def _sync(self, state):
-        self.grid = np.asarray(state.grid)
-        self.pos = (int(state.agent_pos[0]), int(state.agent_pos[1]))
+        from minigrid_tpu.core.constants import unpack_grid
+
+        self.grid_packed = np.asarray(state.grid)
+        self.grid = np.asarray(unpack_grid(state.grid))
+        self.pos = (int(state.agent_x), int(state.agent_y))
         self.dir = int(state.agent_dir)
         self.dir_vec = _DIR_VEC[self.dir]
         self.right_vec = (-self.dir_vec[1], self.dir_vec[0])
         self.fwd_pos = _add(self.pos, self.dir_vec)
-        carry = np.asarray(state.carrying)
-        self.carrying = (int(carry[0]), int(carry[1])) if carry[0] != 0 else None
+        carry = int(state.carrying)
+        self.carrying = (carry & 0xFF, (carry >> 8) & 0xFF) if carry else None
         self.instr_gridm = np.asarray(state.extra["instr"].gridm)
 
     def cell(self, x, y):
@@ -522,13 +526,14 @@ class BabyAIBot:
         (reference _process_obs, baby_ai_bot.py:711-739)."""
         import jax.numpy as jnp
 
-        vis, coords = _vis_fn(self.view_size)(
-            jnp.asarray(self.grid), jnp.asarray(self.pos), jnp.asarray(self.dir)
+        vis, wx, wy = _vis_fn(self.view_size)(
+            jnp.asarray(self.grid_packed),
+            jnp.asarray(self.pos[0]),
+            jnp.asarray(self.pos[1]),
+            jnp.asarray(self.dir),
         )
-        vis = np.asarray(vis)
-        coords = np.asarray(coords)
+        vis, xs, ys = np.asarray(vis), np.asarray(wx), np.asarray(wy)
         w, h = self.vis_mask.shape
-        xs, ys = coords[..., 0], coords[..., 1]
         ok = vis & (xs >= 0) & (xs < w) & (ys >= 0) & (ys < h)
         self.vis_mask[xs[ok], ys[ok]] = True
 

@@ -33,9 +33,11 @@ _DIR_CHAR = {0: ">", 1: "V", 2: "<", 3: "^"}
 def state_hash(state, size: int = 16) -> str:
     """Hash identifying the episode state, same recipe as the reference
     (sha256 over the encoded grid + agent pose, minigrid_env.py:159-169)."""
+    from minigrid_tpu.core.constants import unpack_grid
+
     h = hashlib.sha256()
-    grid = np.asarray(state.grid)
-    pos = tuple(int(v) for v in np.asarray(state.agent_pos))
+    grid = np.asarray(unpack_grid(state.grid))
+    pos = (int(state.agent_x), int(state.agent_y))
     for item in (grid.tolist(), pos, int(state.agent_dir)):
         h.update(str(item).encode("utf8"))
     return h.hexdigest()[:size]
@@ -44,9 +46,11 @@ def state_hash(state, size: int = 16) -> str:
 def pprint_grid(state) -> str:
     """Two-chars-per-cell grid dump with the agent arrow
     (reference: minigrid_env.py:175-233)."""
-    grid = np.asarray(state.grid)
+    from minigrid_tpu.core.constants import unpack_grid
+
+    grid = np.asarray(unpack_grid(state.grid))
     w, h = grid.shape[:2]
-    pos = (int(state.agent_pos[0]), int(state.agent_pos[1]))
+    pos = (int(state.agent_x), int(state.agent_y))
     direction = int(state.agent_dir)
 
     rows = []

@@ -70,8 +70,8 @@ class ActionBonus(_BonusWrapper):
 
     def _count_index(self, stepped, action):
         return (
-            stepped.agent_pos[0],
-            stepped.agent_pos[1],
+            stepped.agent_x,
+            stepped.agent_y,
             stepped.agent_dir,
             jnp.asarray(action, jnp.int32),
         )
@@ -85,7 +85,7 @@ class PositionBonus(_BonusWrapper):
         return (e.width, e.height)
 
     def _count_index(self, stepped, action):
-        return (stepped.agent_pos[0], stepped.agent_pos[1])
+        return (stepped.agent_x, stepped.agent_y)
 
 
 class StochasticActionWrapper(Wrapper):
@@ -127,19 +127,20 @@ class NoDeath(Wrapper):
         return m
 
     def step_env(self, state, action):
+        from minigrid_tpu.core.constants import cell_type
+
         w, h = state.grid.shape[:2]
-        fwd = state.agent_pos + DIR_TO_VEC[state.agent_dir]
-        fcell = get_cell(
-            state.grid, jnp.clip(fwd[0], 0, w - 1), jnp.clip(fwd[1], 0, h - 1)
-        )
+        fx = jnp.clip(state.agent_x + DIR_TO_VEC[state.agent_dir][0], 0, w - 1)
+        fy = jnp.clip(state.agent_y + DIR_TO_VEC[state.agent_dir][1], 0, h - 1)
+        fcell = get_cell(state.grid, fx, fy)
         going_to_death = (
             jnp.asarray(action, jnp.int32) == Actions.forward
-        ) & self._is_death_type(fcell[0])
+        ) & self._is_death_type(cell_type(fcell))
 
         stepped, reward = self.env.step_env(state, action)
 
-        cur = get_cell(stepped.grid, stepped.agent_pos[0], stepped.agent_pos[1])
-        in_death = self._is_death_type(cur[0])
+        cur = get_cell(stepped.grid, stepped.agent_x, stepped.agent_y)
+        in_death = self._is_death_type(cell_type(cur))
         cancel = stepped.terminated & (going_to_death | in_death)
         reward = jnp.where(cancel, reward + self.death_cost, reward)
         stepped = stepped.replace(terminated=stepped.terminated & ~cancel)

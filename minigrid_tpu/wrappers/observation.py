@@ -12,6 +12,7 @@ import numpy as np
 
 from minigrid_tpu.core import obs as obs_lib
 from minigrid_tpu.core.constants import (
+    cell_type,
     NUM_COLORS,
     NUM_OBJECTS,
     OBJ_AGENT,
@@ -52,18 +53,13 @@ class FullyObsWrapper(Wrapper):
     (reference: minigrid/wrappers.py:384-423)."""
 
     def observation(self, state):
-        o = self.env.observation(state)
-        agent_cell = jnp.stack(
-            [
-                jnp.asarray(OBJ_AGENT, jnp.uint8),
-                jnp.asarray(COLOR_RED, jnp.uint8),
-                state.agent_dir.astype(jnp.uint8),
-            ]
-        )
+        from minigrid_tpu.core.constants import cell as pack_cell, unpack_grid
         from minigrid_tpu.core.grid import set_cell
 
-        image = set_cell(state.grid, state.agent_pos[0], state.agent_pos[1], agent_cell)
-        return {**o, "image": image}
+        o = self.env.observation(state)
+        agent_cell = pack_cell(OBJ_AGENT, COLOR_RED, state.agent_dir)
+        image = set_cell(state.grid, state.agent_x, state.agent_y, agent_cell)
+        return {**o, "image": unpack_grid(image)}
 
 
 class DictObservationSpaceWrapper(Wrapper):
@@ -155,12 +151,7 @@ class ViewSizeWrapper(Wrapper):
     def observation(self, state):
         o = self.env.observation(state)
         image = obs_lib.gen_obs_image(
-            state.grid,
-            state.agent_pos,
-            state.agent_dir,
-            state.carrying,
-            self.agent_view_size,
-            self.env.see_through_walls,
+            state, self.agent_view_size, self.env.see_through_walls
         )
         return {**o, "image": image}
 
@@ -182,7 +173,7 @@ class DirectionObsWrapper(Wrapper):
     def observation(self, state):
         o = self.env.observation(state)
         w, h = state.grid.shape[:2]
-        is_goal = state.grid[:, :, 0] == OBJ_GOAL
+        is_goal = cell_type(state.grid) == OBJ_GOAL
         # Reference flattens the row-major cell list and derives
         # (idx // height, idx % width) (minigrid/wrappers.py:697-706).
         xs = jnp.arange(w)[:, None]
@@ -190,7 +181,7 @@ class DirectionObsWrapper(Wrapper):
         ref_idx = ys * w + xs
         flat_idx = jnp.where(is_goal, ref_idx, w * h + 1).min()
         goal = jnp.stack([flat_idx // h, flat_idx % w])
-        slope = (goal[1] - state.agent_pos[1]) / (goal[0] - state.agent_pos[0])
+        slope = (goal[1] - state.agent_y) / (goal[0] - state.agent_x)
         gd = jnp.arctan(slope) if self.type == "angle" else slope
         return {**o, "goal_direction": gd}
 
@@ -204,9 +195,9 @@ class SymbolicObsWrapper(Wrapper):
         w, h = state.grid.shape[:2]
         xs = jnp.broadcast_to(jnp.arange(w)[:, None], (w, h))
         ys = jnp.broadcast_to(jnp.arange(h)[None, :], (w, h))
-        obj = state.grid[:, :, 0].astype(jnp.int32)
+        obj = cell_type(state.grid)
         obj = jnp.where(obj == OBJ_EMPTY, -1, obj)
-        ax, ay = state.agent_pos[0], state.agent_pos[1]
+        ax, ay = state.agent_x, state.agent_y
         obj = jnp.where((xs == ax) & (ys == ay), OBJ_AGENT, obj)
         image = jnp.stack([xs, ys, obj], axis=-1)
         return {**o, "image": image}

@@ -46,7 +46,9 @@ def test_generate_invariants(env_id):
     env = mg.make(env_id)
     reset = jax.jit(jax.vmap(env.reset))
     _, states = reset(jax.random.split(jax.random.PRNGKey(0), 64))
-    grids = np.asarray(states.grid)
+    from minigrid_tpu.core.constants import unpack_grid
+
+    grids = np.asarray(unpack_grid(states.grid))
     pos = np.asarray(states.agent_pos)
     dirs = np.asarray(states.agent_dir)
 
@@ -104,7 +106,9 @@ def test_always_solvable(env_id):
     env = mg.make(env_id)
     reset = jax.jit(jax.vmap(env.reset))
     _, states = reset(jax.random.split(jax.random.PRNGKey(7), 256))
-    grids = np.asarray(states.grid)
+    from minigrid_tpu.core.constants import unpack_grid
+
+    grids = np.asarray(unpack_grid(states.grid))
     pos = np.asarray(states.agent_pos)
     for n in range(grids.shape[0]):
         assert _solvable(grids[n], tuple(pos[n])), f"{env_id} seed-batch idx {n} unsolvable"

@@ -16,8 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from minigrid_tpu.core.constants import pack_carry, see_behind, unpack_grid
 from minigrid_tpu.core.obs import gen_obs_image, process_vis
-from minigrid_tpu.core.constants import see_behind
 from minigrid_tpu.core.state import new_state
 from minigrid_tpu.core.step import core_step
 
@@ -47,19 +47,30 @@ def test_step_and_obs_parity(path):
             max_steps=max_steps,
             contains=contains,
         )
+        carry = carry.astype(jnp.int32)
         state = state.replace(
-            carrying=carry, step_count=jnp.asarray(step_count, jnp.int32)
+            carrying=pack_carry(carry[0], carry[1], carry[2], carry[3]),
+            step_count=jnp.asarray(step_count, jnp.int32),
         )
         state, reward = core_step(state, action)
-        obs = gen_obs_image(
-            state.grid, state.agent_pos, state.agent_dir, state.carrying, view, stw
-        )
+        obs = gen_obs_image(state, view, stw)
+        carry_out = jnp.stack(
+            [
+                state.carrying & 0xFF,
+                (state.carrying >> 8) & 0xFF,
+                (state.carrying >> 16) & 0xFF,
+                (state.carrying >> 24) & 0xFF,
+            ]
+        ).astype(jnp.uint8)
+        contains_out = jnp.stack(
+            [state.contains & 0xFF, (state.contains >> 8) & 0xFF], axis=-1
+        ).astype(jnp.uint8)
         return (
-            state.grid,
-            state.contains,
+            unpack_grid(state.grid),
+            contains_out,
             state.agent_pos,
             state.agent_dir,
-            state.carrying,
+            carry_out,
             reward,
             state.terminated,
             state.truncated,

@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 
 import minigrid_tpu as mg
+from minigrid_tpu.core.constants import pack_carry, unpack_grid
 from minigrid_tpu.core.obs import gen_obs_image
 from minigrid_tpu.core.state import new_state
 
@@ -48,15 +49,23 @@ def test_overlay_step_parity(path):
             contains=contains,
             extra=extra,
         )
+        carry = carry.astype(jnp.int32)
         state = state.replace(
-            carrying=carry, step_count=jnp.asarray(step_count, jnp.int32)
+            carrying=pack_carry(carry[0], carry[1], carry[2], carry[3]),
+            step_count=jnp.asarray(step_count, jnp.int32),
         )
         state, reward = env.step_env(state, action)
-        obs = gen_obs_image(
-            state.grid, state.agent_pos, state.agent_dir, state.carrying, view, stw
-        )
+        obs = gen_obs_image(state, view, stw)
+        carry_out = jnp.stack(
+            [
+                state.carrying & 0xFF,
+                (state.carrying >> 8) & 0xFF,
+                (state.carrying >> 16) & 0xFF,
+                (state.carrying >> 24) & 0xFF,
+            ]
+        ).astype(jnp.uint8)
         return (
-            state.grid, state.agent_pos, state.agent_dir, state.carrying,
+            unpack_grid(state.grid), state.agent_pos, state.agent_dir, carry_out,
             reward, state.terminated, state.truncated, obs,
         )
 

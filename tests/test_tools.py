@@ -106,10 +106,11 @@ def test_graph_transform_roundtrip():
     )
     (g,) = graphs
     assert g.number_of_nodes() == 36  # 6x6 interior
+    from minigrid_tpu.core.constants import unpack_grid
+
     grid = GraphTransforms.dense_graph_to_minigrid(g, shape=(8, 8))
-    orig = np.asarray(state.grid).copy()
-    pos = np.asarray(state.agent_pos)
-    orig[pos[0], pos[1], 0] = 10  # agent overlay like the transform does
+    orig = np.asarray(unpack_grid(state.grid)).copy()
+    orig[int(state.agent_x), int(state.agent_y), 0] = 10  # agent overlay
     # Same wall/goal/agent layout (colors are canonicalized by the transform).
     np.testing.assert_array_equal(grid[..., 0], orig[..., 0])
 

@@ -12,7 +12,13 @@ import numpy as np
 import pytest
 
 import minigrid_tpu as mg
+from minigrid_tpu.core.constants import pack_carry
 from minigrid_tpu.core.state import new_state
+
+
+def _pack4(carry):
+    c = jnp.asarray(carry, jnp.int32)
+    return pack_carry(c[0], c[1], c[2], c[3])
 from minigrid_tpu.wrappers import (
     ActionBonus,
     DictObservationSpaceWrapper,
@@ -54,7 +60,7 @@ def _states_from(d, env, n):
             mission=ref_state.mission,
             extra=jax.tree.map(jnp.zeros_like, ref_state.extra),
         )
-        return s.replace(carrying=carry)
+        return s.replace(carrying=_pack4(carry))
 
     return jax.vmap(build)(
         jnp.asarray(d["grid"][:n]),
@@ -111,7 +117,7 @@ def test_nodeath_parity():
             max_steps=max_steps,
             contains=contains,
         )
-        s = s.replace(carrying=carry, step_count=jnp.asarray(step_count, jnp.int32))
+        s = s.replace(carrying=_pack4(carry), step_count=jnp.asarray(step_count, jnp.int32))
         stepped, reward = wrapped.step_env(s, action)
         return reward, stepped.terminated, stepped.truncated
 
