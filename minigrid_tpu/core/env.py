@@ -112,6 +112,58 @@ class MiniGridEnv:
         state, reward = self._post_step(prev, state, action, reward)
         return state, reward
 
+    # Families whose per-episode generation is expensive (rejection-resampled
+    # RoomGrid levels, WFC solves, recursive room chains) set this True;
+    # batched rollouts then amortize generation with a per-chunk reset cache
+    # (minigrid_tpu/parallel/vector.py) instead of regenerating every step.
+    expensive_reset: bool = False
+
+    def reset_cache(self, key: jax.Array, num_resets: int) -> EnvState:
+        """Pytree of ``num_resets`` pre-generated fresh episodes (leading
+        axis R) for amortized auto-reset inside a rollout chunk."""
+        return jax.vmap(self._generate)(jax.random.split(key, num_resets))
+
+    def step_cached(self, state: EnvState, action, cache: EnvState, used):
+        """Transition with auto-reset drawn from a pre-generated cache.
+
+        ``cache`` holds R fresh episodes (leading axis); ``used`` counts
+        resets already consumed — the r-th episode end pulls cache slot
+        min(r, R-1).  Identical per-step semantics to :meth:`step`; only the
+        reset-time level distribution is amortized (levels are drawn once per
+        rollout chunk rather than per step).
+
+        Returns (obs, state, reward, terminated, truncated, used).
+        """
+        stepped, reward = self.step_env(state, action)
+        terminated, truncated = stepped.terminated, stepped.truncated
+        done = terminated | truncated
+        num = jax.tree.leaves(cache)[0].shape[0]
+        fresh = jax.tree.map(lambda a: a[0], cache)
+        for r in range(1, num):
+            take = used >= r
+            fresh = jax.tree.map(
+                lambda f, a, t=take: jnp.where(
+                    jnp.reshape(t, (1,) * f.ndim) if f.ndim else t, a[r], f
+                ),
+                fresh,
+                cache,
+            )
+        state = jax.tree.map(
+            lambda a, b: jnp.where(
+                jnp.reshape(done, (1,) * a.ndim) if a.ndim else done, a, b
+            ),
+            fresh,
+            stepped,
+        )
+        return (
+            self.observation(state),
+            state,
+            reward,
+            terminated,
+            truncated,
+            used + done.astype(jnp.int32),
+        )
+
     def autoreset(self, stepped: EnvState) -> EnvState:
         """Blend a freshly generated episode into slots where the episode
         ended (the reset key comes from the state's own key chain)."""

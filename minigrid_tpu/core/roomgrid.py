@@ -329,19 +329,45 @@ class RoomGridBuilder:
             return reach | right | left | down | up
         return jax.lax.fori_loop(0, r * c, body, reach)
 
+    def _room_components(self, s: RoomGridState) -> jnp.ndarray:
+        """int32[rows, cols] connected-component labels over open wall slots
+        (min-label propagation; lattice diameter bounds the trip count)."""
+        r, c = self.num_rows, self.num_cols
+        lab = jnp.arange(r * c, dtype=jnp.int32).reshape(r, c)
+
+        def body(_, lab):
+            big = jnp.int32(r * c + 1)
+            right = jnp.where(s.open_right[:, : c - 1], lab[:, 1:], big)
+            left = jnp.where(s.open_right[:, : c - 1], lab[:, : c - 1], big)
+            down = jnp.where(s.open_down[: r - 1, :], lab[1:, :], big)
+            up = jnp.where(s.open_down[: r - 1, :], lab[: r - 1, :], big)
+            m = lab
+            m = m.at[:, : c - 1].min(right)
+            m = m.at[:, 1:].min(left)
+            m = m.at[: r - 1, :].min(down)
+            m = m.at[1:, :].min(up)
+            return m
+
+        return jax.lax.fori_loop(0, r + c, body, lab)
+
     def connect_all(
         self,
         key: jax.Array,
         s: RoomGridState,
         door_colors=None,
-        max_itrs: int = 5000,
+        max_itrs: int | None = None,
         exclude_color=None,
     ) -> RoomGridState:
         """Randomly add open doors until every room is reachable
-        (reference :336-394): per iteration sample (i, j, k); skip if the slot
-        is missing/occupied or either side is locked; else add a door of a
-        random allowed color.  ``exclude_color`` (traced, -1 = none) removes
-        one color from the palette (BabyAI Unlock, babyai/unlock.py:83-88)."""
+        (reference :336-394).  The reference rejection-samples (i, j, k) and
+        skips missing/occupied/locked slots; conditioned on acceptance each
+        accepted draw is uniform over the currently valid slots, so here the
+        loop samples that set DIRECTLY — the while_loop runs once per door
+        added (~lattice size) instead of once per raw draw, and connectivity
+        is tracked with incremental component labels (a 5000-draw rejection
+        tail batched over 10k envs costs seconds per reset chunk otherwise).
+        ``exclude_color`` (traced, -1 = none) removes one color from the
+        palette (BabyAI Unlock, babyai/unlock.py:83-88)."""
         if door_colors is None:
             color_table = jnp.asarray(SORTED_COLOR_IDX)
         else:
@@ -352,26 +378,51 @@ class RoomGridBuilder:
         excl_pos = jnp.argmax(color_table == jnp.asarray(exclude_color, jnp.int32))
         has_excl = (color_table == jnp.asarray(exclude_color, jnp.int32)).any()
         r, c = self.num_rows, self.num_cols
+        if max_itrs is None:
+            max_itrs = 4 * r * c  # every slot can be doored at most once
+
+        def slot_masks(s, lab):
+            """Valid (addable) right/down wall slots whose sides are in
+            different components (adding within a component is possible in
+            the reference but never needed for connectivity; the reference
+            adds them anyway — keep them eligible for distribution parity)."""
+            not_locked = ~s.locked
+            right_ok = (
+                ~s.open_right[:, : c - 1]
+                & not_locked[:, : c - 1]
+                & not_locked[:, 1:]
+            )
+            down_ok = (
+                ~s.open_down[: r - 1, :] & not_locked[: r - 1, :] & not_locked[1:, :]
+            )
+            return right_ok, down_ok
 
         def cond(carry):
-            s, key, itr = carry
-            return (~self.reach_mask(s).all()) & (itr <= max_itrs)
+            s, lab, key, itr = carry
+            return (~(lab == lab[0, 0]).all()) & (itr < max_itrs)
 
         def body(carry):
-            s, key, itr = carry
-            key, ki, kj, kk, kc = jax.random.split(key, 5)
-            i = randint(ki, 0, c)
-            j = randint(kj, 0, r)
-            k = randint(kk, 0, 4)
-            x, y, valid, oi, oj, horizontal = self.door_slot(s, i, j, k)
-            occupied = jnp.where(horizontal, s.open_right[oj, oi], s.open_down[oj, oi])
-            # neighbor room on the other side of wall k
-            ni = jnp.clip(i + jnp.where(k == 0, 1, jnp.where(k == 2, -1, 0)), 0, c - 1)
-            nj = jnp.clip(j + jnp.where(k == 1, 1, jnp.where(k == 3, -1, 0)), 0, r - 1)
-            ii = jnp.clip(i, 0, c - 1)
-            jj = jnp.clip(j, 0, r - 1)
-            blocked = s.locked[jj, ii] | s.locked[nj, ni]
-            do = valid & ~occupied & ~blocked
+            s, lab, key, itr = carry
+            key, k_slot, kc = jax.random.split(key, 3)
+            right_ok, down_ok = slot_masks(s, lab)
+            flat = jnp.concatenate(
+                [right_ok.reshape(-1), down_ok.reshape(-1)]
+            )
+            logits = jnp.where(flat, 0.0, -jnp.inf)
+            any_valid = flat.any()
+            pick = jax.random.categorical(k_slot, logits)
+            n_right = r * (c - 1)
+            is_right = pick < n_right
+            # Decode to the owner room (oj, oi) of the wall slot.
+            rj = jnp.clip(pick, 0, n_right - 1) // (c - 1)
+            ri = jnp.clip(pick, 0, n_right - 1) % (c - 1)
+            dj = jnp.clip(pick - n_right, 0, (r - 1) * c - 1) // c
+            di = jnp.clip(pick - n_right, 0, (r - 1) * c - 1) % c
+            oj = jnp.where(is_right, rj, dj)
+            oi = jnp.where(is_right, ri, di)
+            rs = self.room_size - 1
+            x = jnp.where(is_right, (oi + 1) * rs, s.door_x[oj, oi])
+            y = jnp.where(is_right, s.door_y[oj, oi], (oj + 1) * rs)
 
             r_full = randint(kc, 0, n_colors)
             r_less = jax.random.randint(
@@ -379,18 +430,31 @@ class RoomGridBuilder:
             )
             idx = jnp.where(has_excl, r_less + (r_less >= excl_pos), r_full)
             color = color_table[idx]
+            do = any_valid
             new_grid = g.set_cell(s.grid, x, y, cell(OBJ_DOOR, color, STATE_CLOSED))
-            new_or = jnp.where(horizontal, s.open_right.at[oj, oi].set(True), s.open_right)
-            new_od = jnp.where(horizontal, s.open_down, s.open_down.at[oj, oi].set(True))
+            new_or = jnp.where(
+                is_right, s.open_right.at[oj, oi].set(True), s.open_right
+            )
+            new_od = jnp.where(
+                is_right, s.open_down, s.open_down.at[oj, oi].set(True)
+            )
             s = s.replace(
                 grid=jnp.where(do, new_grid, s.grid),
                 open_right=jnp.where(do, new_or, s.open_right),
                 open_down=jnp.where(do, new_od, s.open_down),
             )
-            return (s, key, itr + 1)
+            # Merge the two components (incremental union).
+            nj = jnp.where(is_right, oj, oj + 1)
+            ni = jnp.where(is_right, oi + 1, oi)
+            la = lab[oj, oi]
+            lb = lab[nj, ni]
+            lo = jnp.minimum(la, lb)
+            hi = jnp.maximum(la, lb)
+            lab = jnp.where(do & (lab == hi), lo, lab)
+            return (s, lab, key, itr + 1)
 
-        arrays = (s, key, jnp.int32(0))
-        s, _, _ = jax.lax.while_loop(cond, body, arrays)
+        lab0 = self._room_components(s)
+        s, _, _, _ = jax.lax.while_loop(cond, body, (s, lab0, key, jnp.int32(0)))
         return s
 
     def add_distractors(

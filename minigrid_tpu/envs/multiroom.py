@@ -37,6 +37,7 @@ def _dyn_randint(key, lo, hi):
 
 
 class MultiRoomEnv(MiniGridEnv):
+    expensive_reset = True
     """Chain of connected rooms with colored doors; goal in the last room
     (reference: minigrid/envs/multiroom.py:112-279)."""
 

@@ -32,6 +32,8 @@ _MISSION_PICKUP = register_mission("pick up the {0} {1}", ("color", "type"))
 class RoomGridEnvBase(MiniGridEnv):
     """Shared plumbing for envs built on the RoomGrid lattice."""
 
+    expensive_reset = True
+
     def __init__(self, room_size: int, num_rows: int, num_cols: int, max_steps: int, **kwargs):
         builder = RoomGridBuilder(room_size, num_rows, num_cols)
         super().__init__(

@@ -47,6 +47,8 @@ class WFCEnv(MiniGridEnv):
     """Level generation via Wave Function Collapse from B/W pattern images
     (reference: minigrid/envs/wfc/wfcenv.py:114-258)."""
 
+    expensive_reset = True
+
     def __init__(
         self,
         wfc_config: str | WFCConfig = "MazeSimple",

@@ -31,16 +31,53 @@ class VectorEnv:
         return self._step(states, actions)
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def rollout_random(env, states, key: jax.Array, num_steps: int):
+@partial(jax.jit, static_argnums=(0, 3, 4))
+def rollout_random(env, states, key: jax.Array, num_steps: int, resets_per_chunk: int = 2):
     """Scan ``num_steps`` uniform-random actions over a batch of states.
 
     Returns (final_states, total_reward, episodes_finished).  Used by the
     throughput benchmark; the policy-driven variant lives in
     minigrid_tpu.rl.
+
+    For ``env.expensive_reset`` families the fused per-step regeneration is
+    replaced by a per-chunk reset cache of ``resets_per_chunk`` pre-generated
+    levels per env (identical step semantics; level draws amortized).
     """
-    step_batch = jax.vmap(env.step)
     num_envs = states.step_count.shape[0]
+
+    if env.expensive_reset:
+        key, k_cache = jax.random.split(key)
+        cache = jax.vmap(env.reset_cache, in_axes=(0, None))(
+            jax.random.split(k_cache, num_envs), resets_per_chunk
+        )
+        step_batch = jax.vmap(env.step_cached)
+
+        def body(carry, _):
+            states, used, key, total_r, total_done = carry
+            key, k_act = jax.random.split(key)
+            actions = jax.random.randint(
+                k_act, (num_envs,), 0, env.num_actions, dtype=jnp.int32
+            )
+            _, states, reward, term, trunc, used = step_batch(
+                states, actions, cache, used
+            )
+            total_r = total_r + reward.sum()
+            total_done = total_done + (term | trunc).sum()
+            return (states, used, key, total_r, total_done), None
+
+        init = (
+            states,
+            jnp.zeros((num_envs,), jnp.int32),
+            key,
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.int32),
+        )
+        (states, _, _, total_r, total_done), _ = jax.lax.scan(
+            body, init, None, length=num_steps
+        )
+        return states, total_r, total_done
+
+    step_batch = jax.vmap(env.step)
 
     def body(carry, _):
         states, key, total_r, total_done = carry

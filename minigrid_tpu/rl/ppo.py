@@ -29,6 +29,8 @@ class PPOConfig(NamedTuple):
     entropy_coef: float = 0.01
     learning_rate: float = 2.5e-4
     max_grad_norm: float = 0.5
+    # Pre-generated levels per env per rollout for expensive-reset families.
+    resets_per_chunk: int = 2
 
 
 class TrainState(NamedTuple):
@@ -62,10 +64,18 @@ def make_ppo(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
         return model.apply(params, image, direction)
 
     def rollout(params, env_states, key):
-        step_batch = jax.vmap(env.step)
+        num_envs = env_states.step_count.shape[0]
+        if env.expensive_reset:
+            # Per-chunk reset cache: level generation amortized over the
+            # rollout instead of fused into every step (core/env.py).
+            key, k_cache = jax.random.split(key)
+            cache = jax.vmap(env.reset_cache, in_axes=(0, None))(
+                jax.random.split(k_cache, num_envs), config.resets_per_chunk
+            )
+            step_cached = jax.vmap(env.step_cached)
 
         def body(carry, _):
-            env_states, key = carry
+            env_states, used, key = carry
             key, k_act = jax.random.split(key)
             obs = jax.vmap(env.observation)(env_states)
             logits, value = policy_apply(params, obs["image"], obs["direction"])
@@ -73,15 +83,23 @@ def make_ppo(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
             logp = jax.nn.log_softmax(logits)[
                 jnp.arange(action.shape[0]), action
             ]
-            _, env_states, reward, terminated, truncated = step_batch(
-                env_states, action
-            )
+            if env.expensive_reset:
+                _, env_states, reward, terminated, truncated, used = step_cached(
+                    env_states, action, cache, used
+                )
+            else:
+                _, env_states, reward, terminated, truncated = jax.vmap(env.step)(
+                    env_states, action
+                )
             done = terminated | truncated
             traj = (obs["image"], obs["direction"], action, logp, value, reward, done)
-            return (env_states, key), traj
+            return (env_states, used, key), traj
 
-        (env_states, key), traj = jax.lax.scan(
-            body, (env_states, key), None, length=config.rollout_steps
+        (env_states, _, key), traj = jax.lax.scan(
+            body,
+            (env_states, jnp.zeros((num_envs,), jnp.int32), key),
+            None,
+            length=config.rollout_steps,
         )
         return env_states, key, traj
 
