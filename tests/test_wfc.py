@@ -1,0 +1,103 @@
+"""WFC solver unit tests with hand-built waves/adjacencies (mirrors the
+reference's tests/test_wfc strategy: exercise propagate/observe on tiny
+synthetic problems, reference: tests/test_wfc/test_wfc_solver.py:10-60)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from minigrid_tpu.envs.wfc.preprocess import WFC_PRESETS, build_tables, preset_tables
+from minigrid_tpu.envs.wfc.solver import _propagate, wfc_solve
+
+
+def _checker_adj():
+    """Two patterns that must alternate in both axes (checkerboard rule)."""
+    # adj[direction, p, q] = pattern q may sit in `direction` from pattern p.
+    a = np.zeros((4, 2, 2), bool)
+    for d in range(4):
+        a[d, 0, 1] = True
+        a[d, 1, 0] = True
+    return jnp.asarray(a)
+
+
+def test_propagate_checkerboard_from_seed():
+    adj = _checker_adj()
+    wave = jnp.ones((2, 4, 4), bool).at[:, 0, 0].set(jnp.array([True, False]))
+    wave, contradiction = _propagate(wave, adj, periodic=False)
+    assert not bool(contradiction)
+    pattern = np.asarray(jnp.argmax(wave, axis=0))
+    # One fixed cell fully determines the checkerboard.
+    xs, ys = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+    np.testing.assert_array_equal(pattern, (xs + ys) % 2)
+    assert bool((np.asarray(wave).sum(axis=0) == 1).all())
+
+
+def test_propagate_detects_contradiction():
+    """A pattern with no legal neighbors anywhere must contradict."""
+    a = np.zeros((4, 2, 2), bool)
+    a[:, 0, 0] = True  # pattern 1 has no support at all
+    adj = jnp.asarray(a)
+    wave = jnp.ones((2, 3, 3), bool).at[:, 1, 1].set(jnp.array([False, True]))
+    _, contradiction = _propagate(wave, adj, periodic=False)
+    assert bool(contradiction)
+
+
+def test_wfc_solve_checkerboard():
+    adj = _checker_adj()
+    weights = jnp.ones((2,))
+    grid, ok = wfc_solve(
+        jax.random.PRNGKey(0), adj, weights, jnp.zeros((6, 6)), periodic=False
+    )
+    assert bool(ok)
+    g = np.asarray(grid)
+    # Every 4-neighbor pair alternates.
+    assert (g[1:, :] != g[:-1, :]).all()
+    assert (g[:, 1:] != g[:, :-1]).all()
+
+
+def test_preset_tables_shapes():
+    t = preset_tables("MazeSimple")
+    P = t["adj"].shape[1]
+    assert t["adj"].shape == (4, P, P)
+    assert t["weights"].shape == (P,)
+    assert 0 <= int(t["wall_tile"]) and t["top_left"].shape == (P,)
+
+
+@pytest.mark.parametrize("preset", sorted(WFC_PRESETS))
+def test_wfc_env_generates_connected_levels(preset):
+    import minigrid_tpu as mg
+    from minigrid_tpu.core.constants import OBJ_GOAL, OBJ_WALL, cell_type
+
+    env_id = f"MiniGrid-WFC-{preset}-v0"
+    if env_id not in mg.registered_ids():
+        pytest.skip(f"{env_id} not registered")
+    env = mg.make(env_id, size=13, max_attempts=32)
+    _, state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    t = np.asarray(cell_type(state.grid))
+    assert (t == OBJ_GOAL).sum() == 1
+    # Border is walls.
+    assert (t[0, :] == OBJ_WALL).all() and (t[:, 0] == OBJ_WALL).all()
+    # Agent starts on a navigable cell connected to the goal (BFS).
+    start = (int(state.agent_x), int(state.agent_y))
+    passable = (t != OBJ_WALL)
+    seen, stack = {start}, [start]
+    goal_found = False
+    while stack:
+        x, y = stack.pop()
+        if t[x, y] == OBJ_GOAL:
+            goal_found = True
+            break
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nb = (x + dx, y + dy)
+            if (
+                0 <= nb[0] < t.shape[0]
+                and 0 <= nb[1] < t.shape[1]
+                and passable[nb]
+                and nb not in seen
+            ):
+                seen.add(nb)
+                stack.append(nb)
+    assert goal_found, f"{preset}: goal unreachable from start"
