@@ -76,3 +76,18 @@ def test_bot_solves_level(env_id):
             pass
         seed += 1
     assert solved >= 2, f"{env_id}: bot solved {solved} of {attempts} attempts"
+
+
+def test_demo_generation():
+    """Expert demos collect successfully and have consistent shapes
+    (the reference bot's demonstration-generation use case)."""
+    from minigrid_tpu.utils.demos import generate_demos
+
+    env = mg.make("BabyAI-GoToRedBallGrey-v0")
+    demos = generate_demos(env, num_demos=3, start_seed=0)
+    assert len(demos) == 3
+    for d in demos:
+        t = d.actions.shape[0]
+        assert d.images.shape == (t, 7, 7, 3)
+        assert d.directions.shape == (t,)
+        assert d.reward > 0
