@@ -16,22 +16,42 @@ from minigrid_tpu.core.actions import NUM_ACTIONS
 from minigrid_tpu.core.constants import NUM_COLORS, NUM_OBJECTS
 
 
+_PER_CELL = NUM_OBJECTS + NUM_COLORS + 3  # one-hot features per view cell
+
+
 def embed_obs(image: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
-    """uint8[..., v, v, 3] + int32[...] -> float32[..., F] one-hot features."""
-    t = jnp.asarray(image[..., 0], jnp.int32)
-    c = jnp.asarray(image[..., 1], jnp.int32)
-    s = jnp.asarray(image[..., 2], jnp.int32)
-    feats = jnp.concatenate(
-        [
-            jnp.eye(NUM_OBJECTS, dtype=jnp.float32)[t],
-            jnp.eye(NUM_COLORS, dtype=jnp.float32)[c],
-            jnp.eye(3, dtype=jnp.float32)[jnp.clip(s, 0, 2)],
-        ],
-        axis=-1,
-    )
-    flat = feats.reshape(feats.shape[: -3] + (-1,))
-    dir_oh = jnp.eye(4, dtype=jnp.float32)[jnp.asarray(direction, jnp.int32)]
-    return jnp.concatenate([flat, dir_oh], axis=-1)
+    """uint8[..., v, v, 3] + int32[...] -> float32[..., F] one-hot features.
+
+    Built with iota comparisons on a repeat-expanded flat layout instead of
+    ``jnp.eye[...]`` gathers: table gathers over [batch, v, v] indices force
+    layout-hostile [.., v, v, K] intermediates on TPU, while this version is
+    pure elementwise work on [batch, v*v*K] lanes.
+    """
+    v2 = image.shape[-3] * image.shape[-2]
+    lead = image.shape[:-3]
+    img = jnp.asarray(image, jnp.int32).reshape(lead + (v2, 3))
+    t, c, s = img[..., 0], img[..., 1], img[..., 2]
+
+    def rep(x):  # [.., v2] -> [.., v2*K] (broadcast+reshape, no gather)
+        return jnp.broadcast_to(
+            x[..., None], lead + (v2, _PER_CELL)
+        ).reshape(lead + (v2 * _PER_CELL,))
+
+    o = jnp.arange(v2 * _PER_CELL, dtype=jnp.int32) % _PER_CELL
+    feats = jnp.where(
+        o < NUM_OBJECTS,
+        rep(t) == o,
+        jnp.where(
+            o < NUM_OBJECTS + NUM_COLORS,
+            rep(c) == o - NUM_OBJECTS,
+            rep(jnp.clip(s, 0, 2)) == o - NUM_OBJECTS - NUM_COLORS,
+        ),
+    ).astype(jnp.float32)
+    dir_oh = (
+        jnp.asarray(direction, jnp.int32)[..., None]
+        == jnp.arange(4, dtype=jnp.int32)
+    ).astype(jnp.float32)
+    return jnp.concatenate([feats, dir_oh], axis=-1)
 
 
 class ActorCritic(nn.Module):

@@ -31,6 +31,10 @@ class PPOConfig(NamedTuple):
     max_grad_norm: float = 0.5
     # Pre-generated levels per env per rollout for expensive-reset families.
     resets_per_chunk: int = 2
+    # Gradient minibatches per update (bounds the one-hot featurization's
+    # activation memory at large env counts) and epochs over the rollout.
+    num_minibatches: int = 8
+    update_epochs: int = 1
 
 
 class TrainState(NamedTuple):
@@ -148,11 +152,39 @@ def make_ppo(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
             lambda x: x.reshape((-1,) + x.shape[2:]),
             (image, direction, action, logp, adv, target),
         )
-        grads, (pg, v_loss, entropy) = jax.grad(loss_fn, has_aux=True)(
-            state.params, flat
+        batch_size = flat[0].shape[0]
+        assert batch_size % config.num_minibatches == 0
+        mb = batch_size // config.num_minibatches
+
+        def run_epoch(carry, _):
+            params, opt_state, key = carry
+            key, k_perm = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, batch_size)
+            shuffled = jax.tree.map(lambda x: x[perm], flat)
+            minibatches = jax.tree.map(
+                lambda x: x.reshape((config.num_minibatches, mb) + x.shape[1:]),
+                shuffled,
+            )
+
+            def run_mb(carry, batch):
+                params, opt_state = carry
+                grads, aux = jax.grad(loss_fn, has_aux=True)(params, batch)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), aux
+
+            (params, opt_state), auxes = jax.lax.scan(
+                run_mb, (params, opt_state), minibatches
+            )
+            return (params, opt_state, key), auxes
+
+        (params, opt_state, key), auxes = jax.lax.scan(
+            run_epoch,
+            (state.params, state.opt_state, key),
+            None,
+            length=config.update_epochs,
         )
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+        pg, v_loss, entropy = jax.tree.map(jnp.mean, auxes)
         metrics = {
             "pg_loss": pg,
             "value_loss": v_loss,
