@@ -468,6 +468,13 @@ class RoomGridBuilder:
     ):
         """Add random distractor objects (reference :396-438).  Returns
         (state, kinds[n], colors[n], positions[n,2])."""
+        if num_distractors == 0:
+            return (
+                s,
+                jnp.zeros((0,), jnp.int32),
+                jnp.zeros((0,), jnp.int32),
+                jnp.zeros((0, 2), jnp.int32),
+            )
         kinds, colors, positions = [], [], []
         keys = jax.random.split(key, num_distractors)
         for n in range(num_distractors):
