@@ -139,8 +139,8 @@ class KeyInBox(RoomGridLevel):
             jnp.where(is_locked, cell_color(state.grid), 0).astype(jnp.int32).sum()
         )
         contains = jnp.where(
-            is_box[:, :, None],
-            jnp.stack([jnp.asarray(OBJ_KEY, jnp.int32), door_color]),
+            is_box,
+            jnp.asarray(OBJ_KEY, jnp.int32) | (door_color << 8),
             state.contains,
         )
         return state.replace(contains=contains)
