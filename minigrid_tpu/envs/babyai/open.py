@@ -5,7 +5,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from minigrid_tpu.core.constants import COLOR_RED, OBJ_DOOR, SORTED_COLOR_IDX, cell_type
+from minigrid_tpu.core.constants import COLOR_RED, OBJ_DOOR, SORTED_COLOR_IDX, cell_color, cell_type
 from minigrid_tpu.core.sampling import randint
 from minigrid_tpu.envs.babyai.core.instr import (
     LEAF_OPEN,
