@@ -6,6 +6,7 @@ import jax
 import jax.numpy as jnp
 
 from minigrid_tpu.core import grid as g
+from minigrid_tpu.core.constants import OBJ_EMPTY, cell, pack_carry
 from minigrid_tpu.core.sampling import randint
 from minigrid_tpu.envs.babyai.core.instr import (
     LEAF_PUTNEXT,
@@ -97,9 +98,7 @@ class PutNext(RoomGridLevel):
         if self.start_carrying:
             # Lift the move object into the agent's hand (reference :190-200).
             instr = start_carrying_object(instr, a_pos)
-            grid = g.set_cell(
-                s.grid, a_pos[0], a_pos[1], jnp.array([1, 0, 0], jnp.uint8)
-            )
+            grid = g.set_cell(s.grid, a_pos[0], a_pos[1], cell(OBJ_EMPTY))
             s = s.replace(grid=grid)
         return s, instr, jnp.asarray(True)
 
@@ -109,12 +108,5 @@ class PutNext(RoomGridLevel):
             return state
         # The carried object's (type, color) is exactly the move descriptor.
         instr = state.extra["instr"]
-        carrying = jnp.stack(
-            [
-                instr.d_type[0, 0],
-                instr.d_color[0, 0],
-                jnp.zeros((), jnp.uint8),
-                jnp.zeros((), jnp.uint8),
-            ]
-        )
+        carrying = pack_carry(instr.d_type[0, 0], instr.d_color[0, 0])
         return state.replace(carrying=carrying)
