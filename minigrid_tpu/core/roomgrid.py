@@ -378,6 +378,8 @@ class RoomGridBuilder:
         excl_pos = jnp.argmax(color_table == jnp.asarray(exclude_color, jnp.int32))
         has_excl = (color_table == jnp.asarray(exclude_color, jnp.int32)).any()
         r, c = self.num_rows, self.num_cols
+        if r * (c - 1) + (r - 1) * c == 0:
+            return s  # single room: no interior walls, nothing to connect
         if max_itrs is None:
             max_itrs = 4 * r * c  # every slot can be doored at most once
 

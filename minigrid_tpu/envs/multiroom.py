@@ -59,121 +59,115 @@ class MultiRoomEnv(MiniGridEnv):
 
     def _try_chain(self, key, num_rooms):
         """One chain-building attempt (the reference's _placeRoom recursion,
-        :186-279).  Returns (tops, sizes, entry_pos, count)."""
+        :186-279): rooms placed sequentially, each retried up to 8 times.
+        One traced room-body scanned over R rooms (a Python-unrolled R x 8
+        loop compiles for minutes at R=6).  Returns (tops, sizes, entries,
+        count)."""
         R = self.max_rooms
         w, h = self.width, self.height
         min_sz, max_sz = 4, self.max_room_size
-        tops = jnp.zeros((R, 2), jnp.int32)
-        sizes = jnp.zeros((R, 2), jnp.int32)
-        entries = jnp.zeros((R, 2), jnp.int32)  # entry door pos of room k (k>0)
 
-        keys = jax.random.split(key, 3 + R * 8 * 6)
-        kidx = 0
-
-        def take():
-            nonlocal kidx
-            kidx += 1
-            return keys[kidx - 1]
-
-        # First room: top at a random position, entry wall = left (reference :121-130).
-        entry_pos = jnp.stack(
+        k_first1, k_first2, k_scan = jax.random.split(key, 3)
+        entry_pos0 = jnp.stack(
             [
-                jax.random.randint(take(), (), 0, w - 2, dtype=jnp.int32),
-                jax.random.randint(take(), (), 0, w - 2, dtype=jnp.int32),
+                jax.random.randint(k_first1, (), 0, w - 2, dtype=jnp.int32),
+                jax.random.randint(k_first2, (), 0, w - 2, dtype=jnp.int32),
             ]
         )
-        entry_wall = jnp.int32(2)
-        count = jnp.int32(0)
-        alive = jnp.bool_(True)
+        attempt_keys = jax.random.split(k_scan, R * 8 * 6).reshape(R, 8, 6, 2)
 
-        for k in range(R):
-            placed_this = jnp.bool_(False)
-            for attempt in range(8):
-                ka, kb, kc, kd, ke = (take() for _ in range(5))
-                if k == 0:
-                    exit_wall = entry_wall  # unused for first room
-                    exit_pos = entry_pos
-                    next_entry_wall = entry_wall
-                else:
-                    # Exit wall: uniform over sorted({0,1,2,3} - {entry_wall})
-                    # (reference :243-246).
-                    r3 = jax.random.randint(ka, (), 0, 3, dtype=jnp.int32)
-                    exit_wall = r3 + (r3 >= entry_wall)
-                    next_entry_wall = (exit_wall + 2) % 4
+        def room_scan(carry, xs):
+            tops, sizes, entries, entry_pos, entry_wall, count, alive = carry
+            k, keys8 = xs  # traced room index, [8, 6, 2] attempt keys
+            first = k == 0
+
+            def attempt(a, st):
+                tops, sizes, entries, entry_pos_a, entry_wall_a, placed = st
+                ka, kb, kc, kd, ke, kf = (keys8[a, i] for i in range(6))
+                # Exit wall: uniform over sorted({0,1,2,3} - {entry_wall})
+                # (reference :243-246); unused for the first room.
+                r3 = jax.random.randint(ka, (), 0, 3, dtype=jnp.int32)
+                exit_wall = r3 + (r3 >= entry_wall_a)
+                next_entry_wall = jnp.where(first, entry_wall_a, (exit_wall + 2) % 4)
                 # Room size (reference :187-189) — drawn per attempt.
                 sx = jax.random.randint(kb, (), min_sz, max_sz + 1, dtype=jnp.int32)
                 sy = jax.random.randint(kc, (), min_sz, max_sz + 1, dtype=jnp.int32)
 
-                if k == 0:
-                    top = entry_pos
-                    door_pos = entry_pos  # unused
-                else:
-                    # Exit door position on the previous room's chosen wall
-                    # (reference :248-262).
-                    ptop, psize = tops[k - 1], sizes[k - 1]
-                    along_y = (exit_wall == 0) | (exit_wall == 2)
-                    off = jnp.where(
-                        along_y,
-                        _dyn_randint(kd, jnp.int32(1), psize[1] - 1),
-                        _dyn_randint(kd, jnp.int32(1), psize[0] - 1),
-                    )
-                    dx = jnp.where(
-                        exit_wall == 0, ptop[0] + psize[0] - 1,
-                        jnp.where(exit_wall == 2, ptop[0], ptop[0] + off),
-                    )
-                    dy = jnp.where(
-                        exit_wall == 1, ptop[1] + psize[1] - 1,
-                        jnp.where(exit_wall == 3, ptop[1], ptop[1] + off),
-                    )
-                    door_pos = jnp.stack([dx, dy])
-                    # New room top from its entry wall (reference :191-215):
-                    # the free coordinate is uniform in [door-size+2, door),
-                    # i.e. an offset in [0, size-2).
-                    ew = next_entry_wall
-                    ke1, ke2 = jax.random.split(ke)
-                    u = _dyn_randint(ke1, jnp.int32(0), jnp.maximum(sx - 2, 1))
-                    v = _dyn_randint(ke2, jnp.int32(0), jnp.maximum(sy - 2, 1))
-                    # entry on right wall of new room (ew==0): topX = dx - sx + 1
-                    tx = jnp.where(
-                        ew == 0, dx - sx + 1,
-                        jnp.where(ew == 2, dx, dx - sx + 2 + u),
-                    )
-                    ty = jnp.where(
-                        ew == 1, dy - sy + 1,
-                        jnp.where(ew == 3, dy, dy - sy + 2 + v),
-                    )
-                    top = jnp.stack([tx, ty])
+                # Exit door position on the previous room's chosen wall
+                # (reference :248-262); clamped reads are fine when first.
+                kprev = jnp.maximum(k - 1, 0)
+                ptop, psize = tops[kprev], sizes[kprev]
+                along_y = (exit_wall == 0) | (exit_wall == 2)
+                off = jnp.where(
+                    along_y,
+                    _dyn_randint(kd, jnp.int32(1), psize[1] - 1),
+                    _dyn_randint(kd, jnp.int32(1), psize[0] - 1),
+                )
+                dx = jnp.where(
+                    exit_wall == 0, ptop[0] + psize[0] - 1,
+                    jnp.where(exit_wall == 2, ptop[0], ptop[0] + off),
+                )
+                dy = jnp.where(
+                    exit_wall == 1, ptop[1] + psize[1] - 1,
+                    jnp.where(exit_wall == 3, ptop[1], ptop[1] + off),
+                )
+                door_pos = jnp.stack([dx, dy])
+                # New room top from its entry wall (reference :191-215).
+                ew = next_entry_wall
+                u = _dyn_randint(ke, jnp.int32(0), jnp.maximum(sx - 2, 1))
+                v = _dyn_randint(kf, jnp.int32(0), jnp.maximum(sy - 2, 1))
+                tx = jnp.where(
+                    ew == 0, dx - sx + 1, jnp.where(ew == 2, dx, dx - sx + 2 + u)
+                )
+                ty = jnp.where(
+                    ew == 1, dy - sy + 1, jnp.where(ew == 3, dy, dy - sy + 2 + v)
+                )
+                top = jnp.where(first, entry_pos_a, jnp.stack([tx, ty]))
 
                 # Bounds (reference :217-221; note the >= on height).
                 ok = (top[0] >= 0) & (top[1] >= 0)
                 ok &= (top[0] + sx <= w) & (top[1] + sy < h)
                 # Overlap vs rooms[0..k-2] (reference :223-233).
-                if k >= 2:
-                    idx = jnp.arange(R)
-                    others = idx < (k - 1)
-                    no_olap = (
-                        (top[0] + sx < tops[:, 0])
-                        | (tops[:, 0] + sizes[:, 0] <= top[0])
-                        | (top[1] + sy < tops[:, 1])
-                        | (tops[:, 1] + sizes[:, 1] <= top[1])
-                    )
-                    ok &= (no_olap | ~others).all()
+                idx = jnp.arange(R)
+                others = idx < (k - 1)
+                no_olap = (
+                    (top[0] + sx < tops[:, 0])
+                    | (tops[:, 0] + sizes[:, 0] <= top[0])
+                    | (top[1] + sy < tops[:, 1])
+                    | (tops[:, 1] + sizes[:, 1] <= top[1])
+                )
+                ok &= (no_olap | ~others).all()
+                # First room gets exactly one attempt (reference :121-130).
+                do_place = alive & ~placed & ok & (~first | (a == 0))
 
-                do_place = alive & ~placed_this & ok
                 tops = jnp.where(do_place, tops.at[k].set(top), tops)
                 sizes = jnp.where(
                     do_place, sizes.at[k].set(jnp.stack([sx, sy])), sizes
                 )
                 entries = jnp.where(do_place, entries.at[k].set(door_pos), entries)
-                entry_wall = jnp.where(do_place, next_entry_wall, entry_wall)
-                placed_this = placed_this | do_place
-                if k == 0:
-                    break  # first room has no retry loop (reference :121-130)
-            count = count + (placed_this & (count == k)).astype(jnp.int32)
-            alive = alive & placed_this & (count < num_rooms)
-            # entry for the next room is the exit door just chosen; stored in
-            # `entries` of the next index when it places itself.
+                entry_wall_a = jnp.where(do_place, next_entry_wall, entry_wall_a)
+                return (tops, sizes, entries, entry_pos_a, entry_wall_a, placed | do_place)
 
+            st = (tops, sizes, entries, entry_pos, entry_wall, jnp.bool_(False))
+            tops, sizes, entries, entry_pos, entry_wall, placed = jax.lax.fori_loop(
+                0, 8, attempt, st
+            )
+            count = count + (placed & (count == k)).astype(jnp.int32)
+            alive = alive & placed & (count < num_rooms)
+            return (tops, sizes, entries, entry_pos, entry_wall, count, alive), None
+
+        carry0 = (
+            jnp.zeros((R, 2), jnp.int32),
+            jnp.zeros((R, 2), jnp.int32),
+            jnp.zeros((R, 2), jnp.int32),
+            entry_pos0,
+            jnp.int32(2),  # first entry wall = left (reference :121-130)
+            jnp.int32(0),
+            jnp.bool_(True),
+        )
+        (tops, sizes, entries, _, _, count, _), _ = jax.lax.scan(
+            room_scan, carry0, (jnp.arange(R, dtype=jnp.int32), attempt_keys)
+        )
         return tops, sizes, entries, count
 
     def _generate(self, key: jax.Array) -> EnvState:
@@ -203,28 +197,38 @@ class MultiRoomEnv(MiniGridEnv):
 
         # Draw the rooms in order: walls then entry door (reference :146-176).
         R = self.max_rooms
-        grid = g.empty_grid(w, h)
         keys = jax.random.split(key2, R + 4)
-        prev_color_pos = jnp.int32(-1)
-        for k in range(R):
-            active = jnp.asarray(k, jnp.int32) < count
-            outline = g.rect_mask(w, h, tops[k, 0], tops[k, 1], sizes[k, 0], sizes[k, 1]) & ~g.rect_mask(
+        door_keys = jnp.stack([jnp.asarray(k) for k in keys[:R]])
+
+        def paint(k, st):
+            grid, prev_color_pos = st
+            active = k < count
+            outline = g.rect_mask(
+                w, h, tops[k, 0], tops[k, 1], sizes[k, 0], sizes[k, 1]
+            ) & ~g.rect_mask(
                 w, h, tops[k, 0] + 1, tops[k, 1] + 1, sizes[k, 0] - 2, sizes[k, 1] - 2
             )
             grid = g.put(grid, outline & active, WALL_CELL)
-            if k > 0:
-                # Door color differs from the previous door's (reference :162-170):
-                # uniform over the sorted color list minus the previous color.
-                r = jax.random.randint(keys[k], (), 0, 6, dtype=jnp.int32)
-                r5 = jax.random.randint(keys[k], (), 0, 5, dtype=jnp.int32)
-                pos_in_sorted = jnp.where(
-                    prev_color_pos < 0, r, r5 + (r5 >= prev_color_pos)
-                )
-                color = jnp.asarray(SORTED_COLOR_IDX)[pos_in_sorted]
-                door_cell = cell(OBJ_DOOR, color, STATE_CLOSED)
-                new_grid = g.set_cell(grid, entries[k, 0], entries[k, 1], door_cell)
-                grid = jnp.where(active, new_grid, grid)
-                prev_color_pos = jnp.where(active, pos_in_sorted, prev_color_pos)
+            # Door color differs from the previous door's (reference :162-170):
+            # uniform over the sorted color list minus the previous color.
+            r = jax.random.randint(door_keys[k], (), 0, 6, dtype=jnp.int32)
+            r5 = jax.random.randint(
+                jax.random.fold_in(door_keys[k], 1), (), 0, 5, dtype=jnp.int32
+            )
+            pos_in_sorted = jnp.where(
+                prev_color_pos < 0, r, r5 + (r5 >= prev_color_pos)
+            )
+            color = jnp.asarray(SORTED_COLOR_IDX)[pos_in_sorted]
+            door_cell = cell(OBJ_DOOR, color, STATE_CLOSED)
+            new_grid = g.set_cell(grid, entries[k, 0], entries[k, 1], door_cell)
+            draw_door = active & (k > 0)
+            grid = jnp.where(draw_door, new_grid, grid)
+            prev_color_pos = jnp.where(draw_door, pos_in_sorted, prev_color_pos)
+            return grid, prev_color_pos
+
+        grid, _ = jax.lax.fori_loop(
+            0, R, paint, (g.empty_grid(w, h), jnp.int32(-1))
+        )
 
         # Agent in the first room, goal in the last (reference :179-182).
         agent_pos = place_obj_pos(

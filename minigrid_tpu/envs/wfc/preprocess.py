@@ -58,6 +58,33 @@ WFC_PRESETS = {
     ),
 }
 
+# Presets the reference ships but does not register: occasionally
+# contradiction-prone ones (reference config.py:104-140) and slow ones
+# (config.py:142-221).  Usable via WFCEnv(wfc_config=WFC_PRESETS_ALL[name]).
+WFC_PRESETS_INCONSISTENT = {
+    "MazeKnot": WFCConfig("Knot", pattern_width=3, output_periodic=True, input_periodic=True),
+    "MazeWall": WFCConfig("SimpleWall", pattern_width=2, output_periodic=True, input_periodic=True),
+    "RoomsOffice": WFCConfig("Office", pattern_width=3, output_periodic=True, input_periodic=True),
+    "ObstaclesHogs2": WFCConfig("Hogs", pattern_width=2, output_periodic=True, input_periodic=True),
+    "Skew2": WFCConfig("Skew2", pattern_width=3, output_periodic=True, input_periodic=True),
+}
+
+WFC_PRESETS_SLOW = {
+    "Maze": WFCConfig("Maze", pattern_width=3, output_periodic=True, input_periodic=True),
+    "MazeSpirals": WFCConfig("Spirals", pattern_width=3, output_periodic=True, input_periodic=True),
+    "MazePaths": WFCConfig("Paths", pattern_width=3, output_periodic=True, input_periodic=True),
+    "Mazelike": WFCConfig("Mazelike", pattern_width=3, output_periodic=True, input_periodic=True),
+    "Dungeon": WFCConfig("DungeonExtr", pattern_width=3, output_periodic=True, input_periodic=True),
+    "DungeonRooms": WFCConfig("Rooms", pattern_width=3, output_periodic=True, input_periodic=True),
+    "DungeonLessRooms": WFCConfig("LessRooms", pattern_width=3, output_periodic=True, input_periodic=True),
+    "DungeonSpirals": WFCConfig("SpiralsNeg", pattern_width=3, output_periodic=True, input_periodic=True),
+    "RoomsMagicOffice": WFCConfig("MagicOffice", pattern_width=3, output_periodic=True, input_periodic=True),
+    "SkewCave": WFCConfig("Cave", pattern_width=3),
+    "SkewLake": WFCConfig("Lake", pattern_width=3, output_periodic=True, input_periodic=True),
+}
+
+WFC_PRESETS_ALL = {**WFC_PRESETS, **WFC_PRESETS_INCONSISTENT, **WFC_PRESETS_SLOW}
+
 
 def _dihedral_grids(grid: np.ndarray, rotations: int):
     """The cumulative identity/reflect/rotate op sequence of the reference

@@ -18,18 +18,12 @@ from minigrid_tpu.utils.babyai_bot import BabyAIBot, DisappearedBoxError
 # One id per level family, covering every instruction kind, sequencing
 # combinator, maze navigation, unlocking, and unblocking.
 FAST_IDS = [
-    "BabyAI-GoToRedBallGrey-v0",
     "BabyAI-GoToObjS4-v0",
-    "BabyAI-GoToLocalS7N4-v0",
-    "BabyAI-GoToDoor-v0",
     "BabyAI-OpenRedDoor-v0",
-    "BabyAI-OpenDoorLoc-v0",
     "BabyAI-PickupLoc-v0",
     "BabyAI-PutNextLocalS5N3-v0",
-    "BabyAI-ActionObjDoor-v0",
     "BabyAI-UnlockLocal-v0",
     "BabyAI-KeyCorridorS3R1-v0",
-    "BabyAI-UnblockPickup-v0",
 ]
 
 if os.environ.get("MINIGRID_TPU_BOT_FULL"):

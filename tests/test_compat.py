@@ -16,8 +16,6 @@ SAMPLE_IDS = [
     "MiniGrid-Empty-5x5-v0",
     "MiniGrid-DoorKey-5x5-v0",
     "MiniGrid-Dynamic-Obstacles-5x5-v0",
-    "MiniGrid-Fetch-5x5-N2-v0",
-    "MiniGrid-MemoryS7-v0",
     "BabyAI-GoToRedBallGrey-v0",
 ]
 

@@ -1,8 +1,16 @@
-"""Per-env conformance tests over the full registry (model: reference
-tests/test_envs.py — spec-parametrized determinism + invariant checks)."""
+"""Per-env conformance tests over the registry (model: reference
+tests/test_envs.py — spec-parametrized determinism + invariant checks).
+
+Every env id costs one fresh XLA compile on the CPU test backend, so the
+default sweep covers all classic MiniGrid ids plus BabyAI/WFC family
+representatives; set MINIGRID_TPU_FULL=1 to sweep all 177 registered ids
+(each test below does its determinism AND invariant checks on ONE compiled
+batched reset per id).
+"""
 
 from __future__ import annotations
 
+import os
 from collections import deque
 
 import jax
@@ -24,6 +32,28 @@ from minigrid_tpu.core.constants import (
 )
 
 ALL_IDS = mg.registered_ids()
+_BABYAI_REPS = [
+    "BabyAI-GoToRedBallGrey-v0",
+    "BabyAI-GoToLocal-v0",
+    "BabyAI-GoTo-v0",
+    "BabyAI-OpenRedDoor-v0",
+    "BabyAI-OpenDoorsOrderN2-v0",
+    "BabyAI-PickupLoc-v0",
+    "BabyAI-PutNextLocalS5N3-v0",
+    "BabyAI-UnlockLocal-v0",
+    "BabyAI-UnlockToUnlock-v0",
+    "BabyAI-ActionObjDoor-v0",
+    "BabyAI-FindObjS5-v0",
+    "BabyAI-Synth-v0",
+    "BabyAI-KeyInBox-v0",
+    "BabyAI-PutNextS5N2Carrying-v0",
+]
+if os.environ.get("MINIGRID_TPU_FULL"):
+    SWEEP_IDS = ALL_IDS
+else:
+    SWEEP_IDS = [
+        i for i in ALL_IDS if not i.startswith("BabyAI-")
+    ] + _BABYAI_REPS
 
 
 def tree_equal(a, b) -> bool:
@@ -32,20 +62,21 @@ def tree_equal(a, b) -> bool:
     return all(np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(leaves_a, leaves_b))
 
 
-@pytest.mark.parametrize("env_id", ALL_IDS)
-def test_generate_deterministic(env_id):
-    env = mg.make(env_id)
-    key = jax.random.PRNGKey(42)
-    _, s1 = env.reset(key)
-    _, s2 = env.reset(key)
-    assert tree_equal(s1, s2)
-
-
-@pytest.mark.parametrize("env_id", ALL_IDS)
-def test_generate_invariants(env_id):
+@pytest.mark.parametrize("env_id", SWEEP_IDS)
+def test_generate_deterministic_and_invariants(env_id):
     env = mg.make(env_id)
     reset = jax.jit(jax.vmap(env.reset))
-    _, states = reset(jax.random.split(jax.random.PRNGKey(0), 64))
+    key42 = jax.random.PRNGKey(42)
+    keys = jnp.concatenate(
+        [key42[None], key42[None], jax.random.split(jax.random.PRNGKey(0), 30)]
+    )
+    _, states = reset(keys)
+
+    # Determinism: identical keys produce identical episodes (rows 0 and 1).
+    s1 = jax.tree.map(lambda a: a[0], states)
+    s2 = jax.tree.map(lambda a: a[1], states)
+    assert tree_equal(s1, s2)
+
     from minigrid_tpu.core.constants import unpack_grid
 
     grids = np.asarray(unpack_grid(states.grid))
@@ -105,7 +136,7 @@ GOAL_ENVS = [i for i in ALL_IDS if any(
 def test_always_solvable(env_id):
     env = mg.make(env_id)
     reset = jax.jit(jax.vmap(env.reset))
-    _, states = reset(jax.random.split(jax.random.PRNGKey(7), 256))
+    _, states = reset(jax.random.split(jax.random.PRNGKey(7), 64))
     from minigrid_tpu.core.constants import unpack_grid
 
     grids = np.asarray(unpack_grid(states.grid))
