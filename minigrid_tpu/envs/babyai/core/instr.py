@@ -372,8 +372,14 @@ def verify_step(instr: InstrState, prev_state, state, action):
     pre_move_tracked = jnp.where(called, instr.carried[:, 0], instr.pre_move_tracked)
 
     sub_succ = instr.sub_succ | (called & (leaf_status == S_SUCCESS))
-    a_succ = instr.a_succ | ((is_before | is_after) & (a_status == S_SUCCESS))
-    b_succ = instr.b_succ | ((is_before | is_after) & (b_status == S_SUCCESS))
+    # Side successes latch ONLY when that side is actually being driven: the
+    # reference never stores the second stage's result before the first
+    # completes (Before/After verify, verifier.py:465-487/:505-527 — the
+    # strict-mode peek at the other side is checked and discarded).
+    a_live = is_before | (is_after & (b_prior | (b_status == S_SUCCESS)))
+    b_live = is_after | (is_before & (a_prior | (a_status == S_SUCCESS)))
+    a_succ = instr.a_succ | (a_live & (a_status == S_SUCCESS))
+    b_succ = instr.b_succ | (b_live & (b_status == S_SUCCESS))
 
     instr = instr.replace(
         pre_none=pre_none,
