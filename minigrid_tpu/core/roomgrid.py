@@ -477,10 +477,14 @@ class RoomGridBuilder:
                 jnp.zeros((0,), jnp.int32),
                 jnp.zeros((0, 2), jnp.int32),
             )
-        kinds, colors, positions = [], [], []
-        keys = jax.random.split(key, num_distractors)
-        for n in range(num_distractors):
-            kc, kk, kri, krj, kp = jax.random.split(keys[n], 5)
+        # One traced placement body scanned over the distractor count (an
+        # unrolled loop multiplies the generator graph ~n-fold and costs
+        # minutes of XLA compile time for the 18-distractor BabyAI mazes).
+        ii = None if i is None else jnp.asarray(i, jnp.int32)
+        jj = None if j is None else jnp.asarray(j, jnp.int32)
+
+        def place(s, k):
+            kc, kk, kri, krj, kp = jax.random.split(k, 5)
             if all_unique:
                 # Uniform over combos not yet present (the reference's
                 # rejection loop :417-422 conditioned on acceptance).
@@ -491,10 +495,12 @@ class RoomGridBuilder:
             else:
                 color = jnp.asarray(SORTED_COLOR_IDX)[randint(kc, 0, 6)]
                 kind = KIND_TABLE[randint(kk, 0, 3)]
-            ri = randint(kri, 0, self.num_cols) if i is None else i
-            rj = randint(krj, 0, self.num_rows) if j is None else j
+            ri = randint(kri, 0, self.num_cols) if ii is None else ii
+            rj = randint(krj, 0, self.num_rows) if jj is None else jj
             s, _, _, pos = self.add_object(kp, s, ri, rj, kind=kind, color=color)
-            kinds.append(kind)
-            colors.append(color)
-            positions.append(pos)
-        return s, jnp.stack(kinds), jnp.stack(colors), jnp.stack(positions)
+            return s, (kind, color, pos)
+
+        s, (kinds, colors, positions) = jax.lax.scan(
+            place, s, jax.random.split(key, num_distractors)
+        )
+        return s, kinds, colors, positions
