@@ -135,3 +135,23 @@ def test_mission_space_eq():
     c = MissionSpace(lambda c: f"open the {c} door", [["red", "blue"]])
     assert a == b
     assert a != c
+
+
+def test_pprint_grid_matches_reference():
+    """pprint output is byte-identical to the reference's pprint_grid for
+    reference-generated grids (fixture from tools; reference
+    minigrid_env.py:175-233)."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "pprint.npz")
+    with np.load(path) as z:
+        n = int(z["n"])
+        for i in range(n):
+            state = __import__("minigrid_tpu.core.state", fromlist=["new_state"]).new_state(
+                grid=jax.numpy.asarray(z[f"g{i}_grid"]),
+                agent_pos=z[f"g{i}_pos"],
+                agent_dir=int(z[f"g{i}_dir"]),
+                rng=jax.random.PRNGKey(0),
+                max_steps=10,
+            )
+            assert pprint_grid(state) == str(z[f"g{i}_text"])
