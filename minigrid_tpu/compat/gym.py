@@ -148,3 +148,34 @@ class GymnasiumMiniGrid(_EnvBase):
 def gym_make(env_id: str, render_mode: str | None = None, **kwargs):
     """``gym.make``-alike returning the adapter directly."""
     return GymnasiumMiniGrid(make(env_id, **kwargs), render_mode=render_mode)
+
+
+def register_gymnasium_envs(prefix: str = "") -> int:
+    """Register every env id into the gymnasium registry so literal
+    ``gymnasium.make("MiniGrid-…")`` works (the reference wires this as a
+    package entry point, reference pyproject.toml
+    [project.entry-points."gymnasium.envs"] -> minigrid/__init__.py:24).
+
+    Returns the number of ids registered.  ``prefix`` optionally namespaces
+    the ids (e.g. "TPU/").
+    """
+    import gymnasium as gym
+
+    from minigrid_tpu.registry import registered_ids
+
+    count = 0
+    for env_id in registered_ids():
+        gym_id = prefix + env_id
+        if gym_id in gym.envs.registry:
+            continue
+        gym.register(
+            id=gym_id,
+            entry_point=_gym_entry_point,
+            kwargs={"minigrid_tpu_env_id": env_id},
+        )
+        count += 1
+    return count
+
+
+def _gym_entry_point(minigrid_tpu_env_id: str, render_mode=None, **kwargs):
+    return gym_make(minigrid_tpu_env_id, render_mode=render_mode, **kwargs)

@@ -62,3 +62,17 @@ def test_sync_vector_env():
     )
     assert rewards.shape == (num_envs,)
     env.close()
+
+
+def test_gymnasium_registry_integration():
+    """Literal gymnasium.make works after registration (the reference wires
+    this as a package entry point)."""
+    from minigrid_tpu.compat import register_gymnasium_envs
+
+    n = register_gymnasium_envs()
+    assert n >= 0  # idempotent on re-run
+    env = gym.make("MiniGrid-Empty-5x5-v0")
+    obs, _ = env.reset(seed=0)
+    assert obs["image"].shape == (7, 7, 3)
+    obs, r, te, tr, _ = env.step(2)
+    env.close()
