@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import minigrid_tpu as mg
 from minigrid_tpu.parallel.vector import rollout_random
 
-NUM_ENVS = 16384
+NUM_ENVS = 65536
 NUM_STEPS = 256
 WARMUP_ITERS = 2
 MEASURE_ITERS = 5
