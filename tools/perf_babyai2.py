@@ -4,7 +4,7 @@ import minigrid_tpu as mg
 from minigrid_tpu.parallel.vector import rollout_random
 
 key = jax.random.PRNGKey(0)
-for env_id, n in [("BabyAI-GoToRedBallGrey-v0", 4096), ("BabyAI-GoToLocal-v0", 4096), ("MiniGrid-KeyCorridorS3R1-v0", 8192)]:
+for env_id, n in [("BabyAI-GoToLocal-v0", 16384), ("MiniGrid-KeyCorridorS3R1-v0", 32768)]:
     env = mg.make(env_id)
     T = 128
     _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(key, n))
