@@ -1,0 +1,492 @@
+"""Seed-parity mode: host-side level generation that reproduces the
+reference's exact RNG draw order.
+
+The device generators (``env._generate``) are key-driven JAX programs whose
+random draws cannot coincide with the reference's numpy-PCG64 stream.  This
+module provides the "host-side reference mode" anticipated by SURVEY.md §2c
+note 4: per-family host generators that consume a ``numpy.random.Generator``
+seeded exactly like ``gymnasium.Env.reset(seed=...)`` and replay the draw
+*order* of the corresponding reference ``_gen_grid``
+(reference: minigrid/minigrid_env.py:119-157, per-family files cited below).
+
+Same seed ⇒ bit-identical grid/agent pose to the reference; combined with
+the golden-verified step semantics this yields bit-exact trajectory parity
+under fixed seed (BASELINE.md north star).  Generation runs on host (it is
+reset-time only); stepping stays on device.
+
+Usage::
+
+    env, state = parity_reset("MiniGrid-DoorKey-8x8-v0", seed=3)
+    state, reward = env.step_env(state, action)      # device step
+
+For families with step-time randomness (DynamicObstacles), ``ParityRollout``
+additionally mirrors the in-step draws host-side.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minigrid_tpu.core.constants import (
+    COLOR_BLUE,
+    COLOR_GREEN,
+    COLOR_GREY,
+    COLOR_RED,
+    COLOR_TO_IDX,
+    COLOR_YELLOW,
+    OBJ_BALL,
+    OBJ_BOX,
+    OBJ_DOOR,
+    OBJ_EMPTY,
+    OBJ_GOAL,
+    OBJ_KEY,
+    OBJ_LAVA,
+    OBJ_WALL,
+    SORTED_COLOR_IDX,
+    STATE_LOCKED,
+    STATE_OPEN,
+)
+
+__all__ = ["parity_reset", "supports_parity", "ParityRollout", "PARITY_GENERATORS"]
+
+
+def pcell(obj_type: int, color: int = 0, state: int = 0) -> int:
+    """Pack (type, color, state) into one int — host twin of constants.cell."""
+    return int(obj_type) | (int(color) << 8) | (int(state) << 16)
+
+
+P_EMPTY = pcell(OBJ_EMPTY)
+P_WALL = pcell(OBJ_WALL, COLOR_GREY)
+P_GOAL = pcell(OBJ_GOAL, COLOR_GREEN)
+P_LAVA = pcell(OBJ_LAVA, COLOR_RED)
+
+
+class HostBuilder:
+    """Host-side grid builder mirroring the reference's RNG-consuming helpers.
+
+    Reproduces the draw order of ``MiniGridEnv._rand_*`` / ``place_obj`` /
+    ``place_agent`` (reference: minigrid/minigrid_env.py:247-395) over a
+    packed int32 numpy grid.  ``self.rng`` is the same
+    ``numpy.random.Generator`` gymnasium seeds in ``reset(seed=)``.
+    """
+
+    def __init__(self, width: int, height: int, rng: np.random.Generator):
+        self.width = width
+        self.height = height
+        self.rng = rng
+        self.grid = np.full((width, height), P_EMPTY, dtype=np.int32)
+        self.contains = np.zeros((width, height), dtype=np.int32)
+        self.agent_pos: tuple[int, int] = (-1, -1)
+        self.agent_dir: int = -1
+
+    # -- grid writes (no RNG) ------------------------------------------------
+    def set(self, i: int, j: int, packed: int | None) -> None:
+        self.grid[i, j] = P_EMPTY if packed is None else packed
+
+    def get(self, i: int, j: int) -> int:
+        return int(self.grid[i, j])
+
+    def is_empty(self, i: int, j: int) -> bool:
+        return self.grid[i, j] == P_EMPTY
+
+    def horz_wall(self, x: int, y: int, length: int | None = None, cell: int = P_WALL):
+        if length is None:
+            length = self.width - x
+        self.grid[x : x + length, y] = cell
+
+    def vert_wall(self, x: int, y: int, length: int | None = None, cell: int = P_WALL):
+        if length is None:
+            length = self.height - y
+        self.grid[x, y : y + length] = cell
+
+    def wall_rect(self, x: int, y: int, w: int, h: int):
+        self.horz_wall(x, y, w)
+        self.horz_wall(x, y + h - 1, w)
+        self.vert_wall(x, y, h)
+        self.vert_wall(x + w - 1, y, h)
+
+    # -- RNG helpers (one draw per reference draw) ---------------------------
+    def rand_int(self, low: int, high: int) -> int:
+        return int(self.rng.integers(low, high))
+
+    def rand_bool(self) -> bool:
+        return bool(self.rng.integers(0, 2) == 0)
+
+    def rand_elem(self, seq):
+        lst = list(seq)
+        return lst[self.rand_int(0, len(lst))]
+
+    def rand_color(self) -> int:
+        """Color *index* drawn in the reference's sorted-name order
+        (reference: minigrid/core/constants.py:17, minigrid_env.py:294-299)."""
+        return int(SORTED_COLOR_IDX[self.rand_int(0, 6)])
+
+    def rand_subset(self, seq, num_elems: int) -> list:
+        lst = list(seq)
+        out = []
+        while len(out) < num_elems:
+            elem = self.rand_elem(lst)
+            lst.remove(elem)
+            out.append(elem)
+        return out
+
+    def place_obj(
+        self,
+        packed: int | None,
+        top: tuple[int, int] | None = None,
+        size: tuple[int, int] | None = None,
+        reject_fn: Callable[["HostBuilder", tuple[int, int]], bool] | None = None,
+        max_tries: float = math.inf,
+    ) -> tuple[int, int]:
+        """Rejection-sample an empty cell exactly like the reference
+        (minigrid/minigrid_env.py:313-371): same draw per try, same
+        accept/reject tests, same exception on exhaustion."""
+        if top is None:
+            top = (0, 0)
+        else:
+            top = (max(top[0], 0), max(top[1], 0))
+        if size is None:
+            size = (self.width, self.height)
+
+        num_tries = 0
+        while True:
+            if num_tries > max_tries:
+                raise RecursionError("rejection sampling failed in place_obj")
+            num_tries += 1
+            pos = (
+                self.rand_int(top[0], min(top[0] + size[0], self.width)),
+                self.rand_int(top[1], min(top[1] + size[1], self.height)),
+            )
+            if not self.is_empty(*pos):
+                continue
+            if pos == tuple(self.agent_pos):
+                continue
+            if reject_fn and reject_fn(self, pos):
+                continue
+            break
+
+        if packed is not None:
+            self.grid[pos[0], pos[1]] = packed
+        return pos
+
+    def place_agent(
+        self,
+        top=None,
+        size=None,
+        rand_dir: bool = True,
+        max_tries: float = math.inf,
+    ) -> tuple[int, int]:
+        self.agent_pos = (-1, -1)
+        pos = self.place_obj(None, top, size, max_tries=max_tries)
+        self.agent_pos = pos
+        if rand_dir:
+            self.agent_dir = self.rand_int(0, 4)
+        return pos
+
+
+# ---------------------------------------------------------------------------
+# Per-family generators.  Each mirrors the reference `_gen_grid` draw order
+# line by line; registered by env class below.
+# ---------------------------------------------------------------------------
+
+
+def _gen_empty(env, b: HostBuilder):
+    # reference: minigrid/envs/empty.py:96-114
+    b.wall_rect(0, 0, b.width, b.height)
+    b.set(b.width - 2, b.height - 2, P_GOAL)
+    if env.agent_start_pos is not None:
+        b.agent_pos = tuple(env.agent_start_pos)
+        b.agent_dir = env.agent_start_dir
+    else:
+        b.place_agent()
+
+
+def _gen_distshift(env, b: HostBuilder):
+    # reference: minigrid/envs/distshift.py:77,99-121 (no RNG draws at all);
+    # goal sits at (width-2, 1), not the usual bottom-right corner.
+    b.wall_rect(0, 0, b.width, b.height)
+    b.set(b.width - 2, 1, P_GOAL)
+    for i in range(b.width - 6):
+        b.set(3 + i, 1, P_LAVA)
+        b.set(3 + i, env.strip2_row, P_LAVA)
+    b.agent_pos = tuple(env.agent_start_pos)
+    b.agent_dir = env.agent_start_dir
+
+
+def _gen_lavagap(env, b: HostBuilder):
+    # reference: minigrid/envs/lavagap.py:101-136
+    b.wall_rect(0, 0, b.width, b.height)
+    b.agent_pos = (1, 1)
+    b.agent_dir = 0
+    b.set(b.width - 2, b.height - 2, P_GOAL)
+    gap_x = b.rand_int(2, b.width - 2)
+    gap_y = b.rand_int(1, b.height - 1)
+    obstacle = P_LAVA if env.obstacle_type == "lava" else P_WALL
+    b.vert_wall(gap_x, 1, b.height - 2, obstacle)
+    b.set(gap_x, gap_y, None)
+
+
+def _gen_crossing(env, b: HostBuilder):
+    # reference: minigrid/envs/crossing.py:122-184
+    import itertools as itt
+
+    w, h = b.width, b.height
+    b.wall_rect(0, 0, w, h)
+    b.agent_pos = (1, 1)
+    b.agent_dir = 0
+    b.set(w - 2, h - 2, P_GOAL)
+
+    v, hz = object(), object()
+    rivers = [(v, i) for i in range(2, h - 2, 2)]
+    rivers += [(hz, j) for j in range(2, w - 2, 2)]
+    b.rng.shuffle(rivers)
+    rivers = rivers[: env.num_crossings]
+    rivers_v = sorted(pos for direction, pos in rivers if direction is v)
+    rivers_h = sorted(pos for direction, pos in rivers if direction is hz)
+    obstacle = P_LAVA if env.obstacle_type == "lava" else P_WALL
+    obstacle_pos = itt.chain(
+        itt.product(range(1, w - 1), rivers_h),
+        itt.product(rivers_v, range(1, h - 1)),
+    )
+    for i, j in obstacle_pos:
+        b.set(i, j, obstacle)
+
+    path = [hz] * len(rivers_v) + [v] * len(rivers_h)
+    b.rng.shuffle(path)
+
+    limits_v = [0] + rivers_v + [h - 1]
+    limits_h = [0] + rivers_h + [w - 1]
+    room_i, room_j = 0, 0
+    for direction in path:
+        if direction is hz:
+            i = limits_v[room_i + 1]
+            j = int(b.rng.choice(range(limits_h[room_j] + 1, limits_h[room_j + 1])))
+            room_i += 1
+        else:
+            i = int(b.rng.choice(range(limits_v[room_i] + 1, limits_v[room_i + 1])))
+            j = limits_h[room_j + 1]
+            room_j += 1
+        b.set(i, j, None)
+
+
+def _gen_doorkey(env, b: HostBuilder):
+    # reference: minigrid/envs/doorkey.py:75-100
+    w, h = b.width, b.height
+    b.wall_rect(0, 0, w, h)
+    b.set(w - 2, h - 2, P_GOAL)
+    split_idx = b.rand_int(2, w - 2)
+    b.vert_wall(split_idx, 0)
+    b.place_agent(size=(split_idx, h))
+    door_idx = b.rand_int(1, h - 2)
+    b.set(split_idx, door_idx, pcell(OBJ_DOOR, COLOR_YELLOW, STATE_LOCKED))
+    b.place_obj(pcell(OBJ_KEY, COLOR_YELLOW), top=(0, 0), size=(split_idx, h))
+
+
+def _gen_fourrooms(env, b: HostBuilder):
+    # reference: minigrid/envs/fourrooms.py:79-127
+    w, h = b.width, b.height
+    b.horz_wall(0, 0)
+    b.horz_wall(0, h - 1)
+    b.vert_wall(0, 0)
+    b.vert_wall(w - 1, 0)
+    room_w, room_h = w // 2, h // 2
+    for j in range(2):
+        for i in range(2):
+            x_l, y_t = i * room_w, j * room_h
+            x_r, y_b = x_l + room_w, y_t + room_h
+            if i + 1 < 2:
+                b.vert_wall(x_r, y_t, room_h)
+                b.set(x_r, b.rand_int(y_t + 1, y_b), None)
+            if j + 1 < 2:
+                b.horz_wall(x_l, y_b, room_w)
+                b.set(b.rand_int(x_l + 1, x_r), y_b, None)
+    if env._agent_default_pos is not None:
+        b.agent_pos = tuple(env._agent_default_pos)
+        b.set(*env._agent_default_pos, None)
+        b.agent_dir = b.rand_int(0, 4)
+    else:
+        b.place_agent()
+    if env._goal_default_pos is not None:
+        b.set(env._goal_default_pos[0], env._goal_default_pos[1], P_GOAL)
+    else:
+        b.place_obj(P_GOAL)
+
+
+def _gen_dynamicobstacles(env, b: HostBuilder):
+    # reference: minigrid/envs/dynamicobstacles.py:111-134
+    b.wall_rect(0, 0, b.width, b.height)
+    b.set(b.width - 2, b.height - 2, P_GOAL)
+    if env.agent_start_pos is not None:
+        b.agent_pos = tuple(env.agent_start_pos)
+        b.agent_dir = env.agent_start_dir
+    else:
+        b.place_agent()
+    obstacles = []
+    for _ in range(env.n_obstacles):
+        pos = b.place_obj(pcell(OBJ_BALL, COLOR_BLUE), max_tries=100)
+        obstacles.append(pos)
+    return {"obstacles": np.asarray(obstacles, dtype=np.int32).reshape(-1, 2)}
+
+
+PARITY_GENERATORS: dict[str, Callable[[Any, HostBuilder], Any]] = {
+    "EmptyEnv": _gen_empty,
+    "DistShiftEnv": _gen_distshift,
+    "LavaGapEnv": _gen_lavagap,
+    "CrossingEnv": _gen_crossing,
+    "DoorKeyEnv": _gen_doorkey,
+    "FourRoomsEnv": _gen_fourrooms,
+    "DynamicObstaclesEnv": _gen_dynamicobstacles,
+}
+
+
+def supports_parity(env) -> bool:
+    return type(env).__name__ in PARITY_GENERATORS
+
+
+def _np_random(seed: int) -> np.random.Generator:
+    """The generator gymnasium's ``Env.reset(seed=)`` installs."""
+    from gymnasium.utils import seeding
+
+    rng, _ = seeding.np_random(seed)
+    return rng
+
+
+def parity_reset(env_or_id, seed: int):
+    """Reset in parity mode: build the episode the reference would build for
+    ``seed`` and return ``(env, EnvState)`` ready for device stepping.
+
+    The returned state's grid/agent pose/extra match the reference's
+    post-``reset(seed=seed)`` state bit-for-bit (verified live against
+    ``/root/reference`` in tests/test_seed_parity.py).
+    """
+    if isinstance(env_or_id, str):
+        from minigrid_tpu.registry import make
+
+        env = make(env_or_id)
+    else:
+        env = env_or_id
+    gen = PARITY_GENERATORS.get(type(env).__name__)
+    if gen is None:
+        raise NotImplementedError(
+            f"no parity generator for {type(env).__name__}; see PARITY_GENERATORS"
+        )
+
+    b = HostBuilder(env.width, env.height, _np_random(seed))
+    host_extra = gen(env, b)
+    assert b.agent_pos >= (0, 0) and b.agent_dir >= 0
+
+    # Template state from the device generator supplies the family's mission
+    # vector and extra-pytree structure; all parity-relevant leaves are
+    # overwritten from the host build.
+    template = env._generate(jax.random.PRNGKey(0))
+    extra = template.extra
+    if host_extra is not None:
+        extra = dict(template.extra)
+        for k, v in host_extra.items():
+            extra[k] = jnp.asarray(v)
+    state = template.replace(
+        grid=jnp.asarray(b.grid),
+        contains=jnp.asarray(b.contains),
+        agent_x=jnp.asarray(b.agent_pos[0], jnp.int32),
+        agent_y=jnp.asarray(b.agent_pos[1], jnp.int32),
+        agent_dir=jnp.asarray(b.agent_dir, jnp.int32),
+        carrying=jnp.asarray(0, jnp.int32),
+        step_count=jnp.asarray(0, jnp.int32),
+        terminated=jnp.asarray(False),
+        truncated=jnp.asarray(False),
+        rng=jax.random.PRNGKey(seed),
+        extra=extra,
+    )
+    return env, state
+
+
+class ParityRollout:
+    """Host-driven episode loop with full in-step RNG parity.
+
+    For most families the device ``step_env`` is already bit-exact given a
+    parity reset; DynamicObstacles additionally draws RNG *during* step (the
+    obstacle random walk, reference: minigrid/envs/dynamicobstacles.py:
+    144-156) — those draws are mirrored here on the host RNG and the moved
+    obstacle layout is written into the device state before the core
+    transition runs.
+    """
+
+    def __init__(self, env_or_id, seed: int):
+        if isinstance(env_or_id, str):
+            from minigrid_tpu.registry import make
+
+            env_or_id = make(env_or_id)
+        self.env = env_or_id
+        self.seed = seed
+        self.rng = _np_random(seed)
+        b = HostBuilder(self.env.width, self.env.height, self.rng)
+        gen = PARITY_GENERATORS[type(self.env).__name__]
+        self._host_extra = gen(self.env, b)
+        self._builder = b
+        _, self.state = parity_reset(self.env, seed)
+        self._step_fn = jax.jit(self._device_step)
+
+    def observation(self):
+        return self.env.observation(self.state)
+
+    def _device_step(self, state, action):
+        from minigrid_tpu.core.step import core_step
+
+        mapped = self.env._map_action(action)
+        prev = state
+        state, reward = core_step(state, mapped)
+        state, reward = self.env._post_step(prev, state, action, reward)
+        return state, reward
+
+    def step(self, action: int):
+        """One transition; returns (obs, reward, terminated, truncated)."""
+        state = self.state
+        if type(self.env).__name__ == "DynamicObstaclesEnv":
+            state = self._move_obstacles_host(state, action)
+        state, reward = self._step_fn(state, jnp.asarray(action, jnp.int32))
+        self.state = state
+        return (
+            self.env.observation(state),
+            float(reward),
+            bool(state.terminated),
+            bool(state.truncated),
+        )
+
+    def _move_obstacles_host(self, state, action):
+        """Mirror the reference's obstacle walk draws on the host RNG
+        (reference: minigrid/envs/dynamicobstacles.py:136-156)."""
+        b = self._builder
+        b.grid = np.asarray(state.grid).copy()
+        b.agent_pos = (int(state.agent_x), int(state.agent_y))
+
+        # front_not_clear is evaluated BEFORE obstacles move (:141-143).
+        from minigrid_tpu.core.constants import cell_type as _ct
+
+        dx, dy = [(1, 0), (0, 1), (-1, 0), (0, -1)][int(state.agent_dir)]
+        fx = int(state.agent_x) + dx
+        fy = int(state.agent_y) + dy
+        ft = _ct(int(b.grid[fx, fy]))
+        not_clear = ft not in (OBJ_EMPTY, OBJ_GOAL)
+
+        obstacles = np.asarray(state.extra["obstacles"]).copy()
+        for i in range(obstacles.shape[0]):
+            old = (int(obstacles[i, 0]), int(obstacles[i, 1]))
+            try:
+                ball = pcell(OBJ_BALL, COLOR_BLUE)
+                pos = b.place_obj(
+                    ball, top=(old[0] - 1, old[1] - 1), size=(3, 3), max_tries=100
+                )
+                b.set(old[0], old[1], None)
+                obstacles[i] = pos
+            except RecursionError:
+                pass
+
+        extra = dict(state.extra)
+        extra["obstacles"] = jnp.asarray(obstacles)
+        extra["front_not_clear"] = jnp.asarray(not_clear)
+        return state.replace(grid=jnp.asarray(b.grid), extra=extra)

@@ -1,0 +1,115 @@
+"""Live seed-parity tests: same seed ⇒ bit-identical episode vs the reference.
+
+These run the ACTUAL reference implementation (mounted read-only at
+/root/reference) side by side with parity-mode resets
+(minigrid_tpu/compat/parity.py) and demand:
+
+* reset parity — identical encoded grid, agent pose, and mission text;
+* trajectory parity — identical observations, rewards, terminations and
+  truncations under an identical action sequence (the BASELINE.md north-star
+  "bit-exact trajectory parity vs reference under fixed seed").
+
+Skipped when the reference checkout is unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REFERENCE = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REFERENCE, "minigrid")),
+    reason="reference checkout not available",
+)
+
+if os.path.isdir(os.path.join(REFERENCE, "minigrid")):
+    sys.path.insert(0, REFERENCE)
+    os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
+
+import jax.numpy as jnp  # noqa: E402
+
+from minigrid_tpu.compat.parity import ParityRollout, parity_reset  # noqa: E402
+from minigrid_tpu.core.constants import unpack_grid  # noqa: E402
+
+PARITY_IDS = [
+    "MiniGrid-Empty-8x8-v0",
+    "MiniGrid-Empty-Random-6x6-v0",
+    "MiniGrid-Empty-16x16-v0",
+    "MiniGrid-DistShift1-v0",
+    "MiniGrid-DistShift2-v0",
+    "MiniGrid-LavaGapS6-v0",
+    "MiniGrid-SimpleCrossingS9N2-v0",
+    "MiniGrid-LavaCrossingS9N1-v0",
+    "MiniGrid-LavaCrossingS11N5-v0",
+    "MiniGrid-DoorKey-8x8-v0",
+    "MiniGrid-DoorKey-16x16-v0",
+    "MiniGrid-FourRooms-v0",
+    "MiniGrid-Dynamic-Obstacles-8x8-v0",
+]
+
+SEEDS = [0, 1, 7, 123, 9999]
+
+
+def _ref_make(env_id):
+    import gymnasium as gym
+    import minigrid  # noqa: F401  (reference package)
+
+    minigrid.register_minigrid_envs()
+    return gym.make(env_id).unwrapped
+
+
+@pytest.mark.parametrize("env_id", PARITY_IDS)
+def test_reset_parity(env_id):
+    ref = _ref_make(env_id)
+    for seed in SEEDS:
+        ref_obs, _ = ref.reset(seed=seed)
+        env, state = parity_reset(env_id, seed)
+
+        ours = np.asarray(unpack_grid(state.grid))
+        theirs = ref.grid.encode()
+        assert np.array_equal(ours, theirs), f"{env_id} seed={seed} grid mismatch"
+        assert tuple(np.asarray(state.agent_pos)) == tuple(ref.agent_pos)
+        assert int(state.agent_dir) == ref.agent_dir
+        assert int(state.max_steps) == ref.max_steps
+        assert env.mission_text(state.mission) == ref.mission
+
+        our_obs = env.observation(state)
+        assert np.array_equal(np.asarray(our_obs["image"]), ref_obs["image"])
+        assert int(our_obs["direction"]) == ref_obs["direction"]
+
+
+@pytest.mark.parametrize("env_id", PARITY_IDS)
+def test_trajectory_parity(env_id):
+    import jax
+
+    ref = _ref_make(env_id)
+    for seed in SEEDS[:3]:
+        ref_obs, _ = ref.reset(seed=seed)
+        roll = ParityRollout(env_id, seed)
+        step_fn = jax.jit(roll.env.step_env)
+
+        action_rng = np.random.default_rng(seed + 1000)
+        for t in range(80):
+            action = int(action_rng.integers(0, 7))
+            ref_obs, ref_r, ref_term, ref_trunc, _ = ref.step(action)
+
+            if type(roll.env).__name__ == "DynamicObstaclesEnv":
+                obs, r, term, trunc = roll.step(action)
+            else:
+                state, r = step_fn(roll.state, jnp.asarray(action, jnp.int32))
+                roll.state = state
+                obs = roll.env.observation(state)
+                term, trunc = bool(state.terminated), bool(state.truncated)
+
+            assert np.array_equal(np.asarray(obs["image"]), ref_obs["image"]), (
+                f"{env_id} seed={seed} t={t} obs mismatch"
+            )
+            assert int(obs["direction"]) == ref_obs["direction"]
+            assert abs(float(r) - float(ref_r)) < 1e-6, f"{env_id} s={seed} t={t}"
+            assert term == ref_term and trunc == ref_trunc, f"{env_id} s={seed} t={t}"
+            if ref_term or ref_trunc:
+                break
