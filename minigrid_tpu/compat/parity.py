@@ -330,7 +330,385 @@ def _gen_dynamicobstacles(env, b: HostBuilder):
     for _ in range(env.n_obstacles):
         pos = b.place_obj(pcell(OBJ_BALL, COLOR_BLUE), max_tries=100)
         obstacles.append(pos)
-    return {"obstacles": np.asarray(obstacles, dtype=np.int32).reshape(-1, 2)}
+    return {
+        "extra": {"obstacles": np.asarray(obstacles, dtype=np.int32).reshape(-1, 2)}
+    }
+
+
+_COLOR_NAMES = sorted(COLOR_TO_IDX.keys())
+_TYPE_BY_NAME = {"key": OBJ_KEY, "ball": OBJ_BALL, "box": OBJ_BOX}
+
+
+def _gen_gotodoor(env, b: HostBuilder):
+    # reference: minigrid/envs/gotodoor.py:91-131
+    from minigrid_tpu.core.mission import mission_vec
+    from minigrid_tpu.envs.gotodoor import _MISSION
+
+    rw = b.rand_int(5, b.width + 1)
+    rh = b.rand_int(5, b.height + 1)
+    b.wall_rect(0, 0, rw, rh)
+
+    door_pos = [
+        (b.rand_int(2, rw - 2), 0),
+        (b.rand_int(2, rw - 2), rh - 1),
+        (0, b.rand_int(2, rh - 2)),
+        (rw - 1, b.rand_int(2, rh - 2)),
+    ]
+    door_colors: list[str] = []
+    while len(door_colors) < len(door_pos):
+        color = b.rand_elem(_COLOR_NAMES)
+        if color in door_colors:
+            continue
+        door_colors.append(color)
+    for pos, color in zip(door_pos, door_colors):
+        b.set(pos[0], pos[1], pcell(OBJ_DOOR, COLOR_TO_IDX[color], 1))
+
+    b.place_agent(size=(rw, rh))
+    door_idx = b.rand_int(0, len(door_pos))
+    t_color = COLOR_TO_IDX[door_colors[door_idx]]
+    return {
+        "extra": {"target_pos": np.asarray(door_pos[door_idx], np.int32)},
+        "mission": mission_vec(_MISSION, t_color),
+    }
+
+
+def _gen_fetch(env, b: HostBuilder):
+    # reference: minigrid/envs/fetch.py:108-161
+    from minigrid_tpu.core.mission import mission_vec
+    from minigrid_tpu.envs.fetch import _MISSIONS
+
+    b.horz_wall(0, 0)
+    b.horz_wall(0, b.height - 1)
+    b.vert_wall(0, 0)
+    b.vert_wall(b.width - 1, 0)
+
+    objs = []
+    while len(objs) < env.num_objs:
+        obj_type = b.rand_elem(["key", "ball"])
+        obj_color = b.rand_elem(_COLOR_NAMES)
+        t, c = _TYPE_BY_NAME[obj_type], COLOR_TO_IDX[obj_color]
+        b.place_obj(pcell(t, c))
+        objs.append((t, c))
+    b.place_agent()
+
+    t_type, t_color = objs[b.rand_int(0, len(objs))]
+    syntax = b.rand_int(0, 5)
+    return {
+        "extra": {"target_type": t_type, "target_color": t_color},
+        "mission": mission_vec(_MISSIONS[syntax], t_color, t_type),
+    }
+
+
+def _gen_gotoobject(env, b: HostBuilder):
+    # reference: minigrid/envs/gotoobject.py:94-141
+    from minigrid_tpu.core.mission import mission_vec
+    from minigrid_tpu.envs.gotoobject import _MISSION
+
+    b.wall_rect(0, 0, b.width, b.height)
+    objs, obj_pos = [], []
+    while len(objs) < env.num_objs:
+        obj_type = b.rand_elem(["key", "ball", "box"])
+        obj_color = b.rand_elem(_COLOR_NAMES)
+        if (obj_type, obj_color) in objs:
+            continue
+        pos = b.place_obj(pcell(_TYPE_BY_NAME[obj_type], COLOR_TO_IDX[obj_color]))
+        objs.append((obj_type, obj_color))
+        obj_pos.append(pos)
+    b.place_agent()
+
+    idx = b.rand_int(0, len(objs))
+    t_type, t_color = _TYPE_BY_NAME[objs[idx][0]], COLOR_TO_IDX[objs[idx][1]]
+    return {
+        "extra": {"target_pos": np.asarray(obj_pos[idx], np.int32)},
+        "mission": mission_vec(_MISSION, t_color, t_type),
+    }
+
+
+def _gen_putnear(env, b: HostBuilder):
+    # reference: minigrid/envs/putnear.py:103-174
+    from minigrid_tpu.core.mission import mission_vec
+    from minigrid_tpu.envs.putnear import _MISSION
+
+    b.horz_wall(0, 0)
+    b.horz_wall(0, b.height - 1)
+    b.vert_wall(0, 0)
+    b.vert_wall(b.width - 1, 0)
+
+    objs, obj_pos = [], []
+
+    def near_obj(_b, p1):
+        for p2 in obj_pos:
+            if abs(p1[0] - p2[0]) <= 1 and abs(p1[1] - p2[1]) <= 1:
+                return True
+        return False
+
+    while len(objs) < env.num_objs:
+        obj_type = b.rand_elem(["key", "ball", "box"])
+        obj_color = b.rand_elem(_COLOR_NAMES)
+        if (obj_type, obj_color) in objs:
+            continue
+        pos = b.place_obj(
+            pcell(_TYPE_BY_NAME[obj_type], COLOR_TO_IDX[obj_color]), reject_fn=near_obj
+        )
+        objs.append((obj_type, obj_color))
+        obj_pos.append(pos)
+    b.place_agent()
+
+    move_idx = b.rand_int(0, len(objs))
+    while True:
+        target_idx = b.rand_int(0, len(objs))
+        if target_idx != move_idx:
+            break
+    m_type, m_color = _TYPE_BY_NAME[objs[move_idx][0]], COLOR_TO_IDX[objs[move_idx][1]]
+    t_type, t_color = (
+        _TYPE_BY_NAME[objs[target_idx][0]],
+        COLOR_TO_IDX[objs[target_idx][1]],
+    )
+    return {
+        "extra": {
+            "move_type": m_type,
+            "move_color": m_color,
+            "target_pos": np.asarray(obj_pos[target_idx], np.int32),
+        },
+        "mission": mission_vec(_MISSION, m_color, m_type, t_color, t_type),
+    }
+
+
+def _gen_redbluedoors(env, b: HostBuilder):
+    # reference: minigrid/envs/redbluedoors.py:81-104 (grid is 2s x s)
+    s = env.size
+    b.wall_rect(0, 0, 2 * s, s)
+    b.wall_rect(s // 2, 0, s, s)
+    b.place_agent(top=(s // 2, 0), size=(s, s))
+    red_y = b.rand_int(1, s - 1)
+    b.set(s // 2, red_y, pcell(OBJ_DOOR, COLOR_RED, 1))
+    blue_y = b.rand_int(1, s - 1)
+    b.set(s // 2 + s - 1, blue_y, pcell(OBJ_DOOR, COLOR_BLUE, 1))
+    return {
+        "extra": {
+            "red_pos": np.asarray((s // 2, red_y), np.int32),
+            "blue_pos": np.asarray((s // 2 + s - 1, blue_y), np.int32),
+        }
+    }
+
+
+def _gen_memory(env, b: HostBuilder):
+    # reference: minigrid/envs/memory.py:94-151
+    w, h = b.width, b.height
+    b.horz_wall(0, 0)
+    b.horz_wall(0, h - 1)
+    b.vert_wall(0, 0)
+    b.vert_wall(w - 1, 0)
+
+    upper = h // 2 - 2
+    lower = h // 2 + 2
+    hallway_end = b.rand_int(4, w - 2) if env.random_length else w - 3
+
+    for i in range(1, 5):
+        b.set(i, upper, P_WALL)
+        b.set(i, lower, P_WALL)
+    b.set(4, upper + 1, P_WALL)
+    b.set(4, lower - 1, P_WALL)
+    for i in range(5, hallway_end):
+        b.set(i, upper + 1, P_WALL)
+        b.set(i, lower - 1, P_WALL)
+    for j in range(h):
+        if j != h // 2:
+            b.set(hallway_end, j, P_WALL)
+        b.set(hallway_end + 2, j, P_WALL)
+
+    b.agent_pos = (b.rand_int(1, hallway_end + 1), h // 2)
+    b.agent_dir = 0
+
+    start_obj = b.rand_elem([OBJ_KEY, OBJ_BALL])
+    b.set(1, h // 2 - 1, pcell(start_obj, COLOR_GREEN))
+    other_objs = b.rand_elem([[OBJ_BALL, OBJ_KEY], [OBJ_KEY, OBJ_BALL]])
+    pos0 = (hallway_end + 1, h // 2 - 2)
+    pos1 = (hallway_end + 1, h // 2 + 2)
+    b.set(pos0[0], pos0[1], pcell(other_objs[0], COLOR_GREEN))
+    b.set(pos1[0], pos1[1], pcell(other_objs[1], COLOR_GREEN))
+
+    if start_obj == other_objs[0]:
+        success = (pos0[0], pos0[1] + 1)
+        failure = (pos1[0], pos1[1] - 1)
+    else:
+        success = (pos1[0], pos1[1] - 1)
+        failure = (pos0[0], pos0[1] + 1)
+    return {
+        "extra": {
+            "success_pos": np.asarray(success, np.int32),
+            "failure_pos": np.asarray(failure, np.int32),
+        }
+    }
+
+
+def _gen_playground(env, b: HostBuilder):
+    # reference: minigrid/envs/playground.py:31-90
+    w, h = b.width, b.height
+    b.horz_wall(0, 0)
+    b.horz_wall(0, h - 1)
+    b.vert_wall(0, 0)
+    b.vert_wall(w - 1, 0)
+    room_w, room_h = w // 3, h // 3
+    for j in range(3):
+        for i in range(3):
+            x_l, y_t = i * room_w, j * room_h
+            x_r, y_b = x_l + room_w, y_t + room_h
+            if i + 1 < 3:
+                b.vert_wall(x_r, y_t, room_h)
+                pos = (x_r, b.rand_int(y_t + 1, y_b - 1))
+                b.set(pos[0], pos[1], pcell(OBJ_DOOR, b.rand_color(), 1))
+            if j + 1 < 3:
+                b.horz_wall(x_l, y_b, room_w)
+                pos = (b.rand_int(x_l + 1, x_r - 1), y_b)
+                b.set(pos[0], pos[1], pcell(OBJ_DOOR, b.rand_color(), 1))
+    b.place_agent()
+    for _ in range(12):
+        obj_type = b.rand_elem(["key", "ball", "box"])
+        obj_color = b.rand_elem(_COLOR_NAMES)
+        b.place_obj(pcell(_TYPE_BY_NAME[obj_type], COLOR_TO_IDX[obj_color]))
+
+
+def _gen_lockedroom(env, b: HostBuilder):
+    # reference: minigrid/envs/lockedroom.py:103-174; LockedRoom.rand_pos
+    # draws a raw uniform interior position (:18-22).
+    from minigrid_tpu.core.mission import mission_vec
+    from minigrid_tpu.envs.lockedroom import _MISSION
+
+    w, h = b.width, b.height
+    b.wall_rect(0, 0, w, h)
+    l_wall, r_wall = w // 2 - 2, w // 2 + 2
+    b.vert_wall(l_wall, 0)
+    b.vert_wall(r_wall, 0)
+
+    rooms = []  # (top, size, door_pos)
+    room_w, room_h = l_wall + 1, h // 3 + 1
+    for n in range(3):
+        j = n * (h // 3)
+        b.horz_wall(0, j, l_wall)
+        b.horz_wall(r_wall, j, w - r_wall)
+        rooms.append(((0, j), (room_w, room_h), (l_wall, j + 3)))
+        rooms.append(((r_wall, j), (room_w, room_h), (r_wall, j + 3)))
+
+    def rand_pos(top, size):
+        x = b.rand_int(top[0] + 1, top[0] + size[0] - 1)
+        y = b.rand_int(top[1] + 1, top[1] + size[1] - 1)
+        return (x, y)
+
+    locked = b.rand_elem(rooms)
+    locked_idx = rooms.index(locked)
+    goal = rand_pos(locked[0], locked[1])
+    b.set(goal[0], goal[1], P_GOAL)
+
+    colors = set(_COLOR_NAMES)
+    room_colors = []
+    for i, room in enumerate(rooms):
+        color = b.rand_elem(sorted(colors))
+        colors.remove(color)
+        room_colors.append(COLOR_TO_IDX[color])
+        state = STATE_LOCKED if i == locked_idx else 1
+        b.set(room[2][0], room[2][1], pcell(OBJ_DOOR, COLOR_TO_IDX[color], state))
+
+    while True:
+        key_room = b.rand_elem(rooms)
+        if key_room != locked:
+            break
+    key_idx = rooms.index(key_room)
+    key_pos = rand_pos(key_room[0], key_room[1])
+    b.set(key_pos[0], key_pos[1], pcell(OBJ_KEY, room_colors[locked_idx]))
+
+    b.place_agent(top=(l_wall, 0), size=(r_wall - l_wall, h))
+    lc, kc = room_colors[locked_idx], room_colors[key_idx]
+    return {"mission": mission_vec(_MISSION, lc, kc, lc)}
+
+
+def _gen_multiroom(env, b: HostBuilder):
+    # reference: minigrid/envs/multiroom.py:112-279 (recursive room chain)
+    w, h = b.width, b.height
+    num_rooms = b.rand_int(env.min_rooms, env.max_rooms + 1)
+
+    def place_room(num_left, room_list, min_sz, max_sz, entry_wall, entry_pos):
+        size_x = b.rand_int(min_sz, max_sz + 1)
+        size_y = b.rand_int(min_sz, max_sz + 1)
+        if len(room_list) == 0:
+            top_x, top_y = entry_pos
+        elif entry_wall == 0:
+            top_x = entry_pos[0] - size_x + 1
+            top_y = b.rand_int(entry_pos[1] - size_y + 2, entry_pos[1])
+        elif entry_wall == 1:
+            top_x = b.rand_int(entry_pos[0] - size_x + 2, entry_pos[0])
+            top_y = entry_pos[1] - size_y + 1
+        elif entry_wall == 2:
+            top_x = entry_pos[0]
+            top_y = b.rand_int(entry_pos[1] - size_y + 2, entry_pos[1])
+        else:
+            top_x = b.rand_int(entry_pos[0] - size_x + 2, entry_pos[0])
+            top_y = entry_pos[1]
+
+        if top_x < 0 or top_y < 0:
+            return False
+        if top_x + size_x > w or top_y + size_y >= h:
+            return False
+        for room in room_list[:-1]:
+            non_overlap = (
+                top_x + size_x < room[0][0]
+                or room[0][0] + room[1][0] <= top_x
+                or top_y + size_y < room[0][1]
+                or room[0][1] + room[1][1] <= top_y
+            )
+            if not non_overlap:
+                return False
+
+        room_list.append(((top_x, top_y), (size_x, size_y), entry_pos))
+        if num_left == 1:
+            return True
+        for _ in range(8):
+            wall_set = {0, 1, 2, 3}
+            wall_set.remove(entry_wall)
+            exit_wall = b.rand_elem(sorted(wall_set))
+            next_entry_wall = (exit_wall + 2) % 4
+            if exit_wall == 0:
+                exit_pos = (top_x + size_x - 1, top_y + b.rand_int(1, size_y - 1))
+            elif exit_wall == 1:
+                exit_pos = (top_x + b.rand_int(1, size_x - 1), top_y + size_y - 1)
+            elif exit_wall == 2:
+                exit_pos = (top_x, top_y + b.rand_int(1, size_y - 1))
+            else:
+                exit_pos = (top_x + b.rand_int(1, size_x - 1), top_y)
+            if place_room(
+                num_left - 1, room_list, min_sz, max_sz, next_entry_wall, exit_pos
+            ):
+                break
+        return True
+
+    room_list: list = []
+    while len(room_list) < num_rooms:
+        cur: list = []
+        # NOTE: the reference draws BOTH entry coordinates from the width
+        # range (minigrid/envs/multiroom.py:121) — mirrored as-is.
+        entry_pos = (b.rand_int(0, w - 2), b.rand_int(0, w - 2))
+        place_room(num_rooms, cur, 4, env.max_room_size, 2, entry_pos)
+        if len(cur) > len(room_list):
+            room_list = cur
+
+    prev_door_color = None
+    for idx, (top, size, entry_pos) in enumerate(room_list):
+        for i in range(size[0]):
+            b.set(top[0] + i, top[1], P_WALL)
+            b.set(top[0] + i, top[1] + size[1] - 1, P_WALL)
+        for j in range(size[1]):
+            b.set(top[0], top[1] + j, P_WALL)
+            b.set(top[0] + size[0] - 1, top[1] + j, P_WALL)
+        if idx > 0:
+            door_colors = set(_COLOR_NAMES)
+            if prev_door_color:
+                door_colors.remove(prev_door_color)
+            door_color = b.rand_elem(sorted(door_colors))
+            b.set(entry_pos[0], entry_pos[1], pcell(OBJ_DOOR, COLOR_TO_IDX[door_color], 1))
+            prev_door_color = door_color
+
+    b.place_agent(room_list[0][0], room_list[0][1])
+    b.place_obj(P_GOAL, room_list[-1][0], room_list[-1][1])
 
 
 PARITY_GENERATORS: dict[str, Callable[[Any, HostBuilder], Any]] = {
@@ -341,6 +719,15 @@ PARITY_GENERATORS: dict[str, Callable[[Any, HostBuilder], Any]] = {
     "DoorKeyEnv": _gen_doorkey,
     "FourRoomsEnv": _gen_fourrooms,
     "DynamicObstaclesEnv": _gen_dynamicobstacles,
+    "GoToDoorEnv": _gen_gotodoor,
+    "FetchEnv": _gen_fetch,
+    "GoToObjectEnv": _gen_gotoobject,
+    "PutNearEnv": _gen_putnear,
+    "RedBlueDoorEnv": _gen_redbluedoors,
+    "MemoryEnv": _gen_memory,
+    "PlaygroundEnv": _gen_playground,
+    "LockedRoomEnv": _gen_lockedroom,
+    "MultiRoomEnv": _gen_multiroom,
 }
 
 
@@ -377,18 +764,21 @@ def parity_reset(env_or_id, seed: int):
         )
 
     b = HostBuilder(env.width, env.height, _np_random(seed))
-    host_extra = gen(env, b)
+    out = gen(env, b) or {}
     assert b.agent_pos >= (0, 0) and b.agent_dir >= 0
 
-    # Template state from the device generator supplies the family's mission
-    # vector and extra-pytree structure; all parity-relevant leaves are
-    # overwritten from the host build.
+    # Template state from the device generator supplies the family's default
+    # mission vector and extra-pytree structure; all parity-relevant leaves
+    # are overwritten from the host build.
     template = env._generate(jax.random.PRNGKey(0))
     extra = template.extra
-    if host_extra is not None:
-        extra = dict(template.extra)
-        for k, v in host_extra.items():
+    if out.get("extra") is not None:
+        extra = dict(template.extra or {})
+        for k, v in out["extra"].items():
             extra[k] = jnp.asarray(v)
+    mission = out.get("mission")
+    if mission is not None:
+        template = template.replace(mission=jnp.asarray(mission, jnp.int32))
     state = template.replace(
         grid=jnp.asarray(b.grid),
         contains=jnp.asarray(b.contains),

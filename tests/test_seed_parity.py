@@ -49,6 +49,17 @@ PARITY_IDS = [
     "MiniGrid-DoorKey-16x16-v0",
     "MiniGrid-FourRooms-v0",
     "MiniGrid-Dynamic-Obstacles-8x8-v0",
+    "MiniGrid-GoToDoor-8x8-v0",
+    "MiniGrid-Fetch-8x8-N3-v0",
+    "MiniGrid-GoToObject-8x8-N2-v0",
+    "MiniGrid-PutNear-8x8-N3-v0",
+    "MiniGrid-RedBlueDoors-8x8-v0",
+    "MiniGrid-MemoryS13-v0",
+    "MiniGrid-MemoryS13Random-v0",
+    "MiniGrid-Playground-v0",
+    "MiniGrid-LockedRoom-v0",
+    "MiniGrid-MultiRoom-N4-S5-v0",
+    "MiniGrid-MultiRoom-N6-v0",
 ]
 
 SEEDS = [0, 1, 7, 123, 9999]
