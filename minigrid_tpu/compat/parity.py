@@ -711,6 +711,381 @@ def _gen_multiroom(env, b: HostBuilder):
     b.place_obj(P_GOAL, room_list[-1][0], room_list[-1][1])
 
 
+class HostRoomGrid(HostBuilder):
+    """Host twin of the reference ``RoomGrid`` base
+    (reference: minigrid/core/roomgrid.py:66-438): lattice walls, per-wall
+    door slots (drawn in ``_gen_grid``'s row-major order :147-171), doors,
+    wall removal, in-room placement with the next-to-agent rejection, the
+    agent placement retry loop, ``connect_all`` and ``add_distractors`` —
+    all consuming the given numpy Generator draw for draw."""
+
+    _NEIGHBOR = [(1, 0), (0, 1), (-1, 0), (0, -1)]  # right, down, left, up
+
+    def __init__(self, room_size: int, num_rows: int, num_cols: int, rng):
+        width = (room_size - 1) * num_cols + 1
+        height = (room_size - 1) * num_rows + 1
+        super().__init__(width, height, rng)
+        self.room_size = room_size
+        self.num_rows = num_rows
+        self.num_cols = num_cols
+        self.room_door_pos: dict = {}
+        self.room_doors: dict = {}
+        self.room_locked: dict = {}
+        self.room_objs: dict = {}
+
+        for j in range(num_rows):
+            for i in range(num_cols):
+                self.wall_rect(
+                    i * (room_size - 1), j * (room_size - 1), room_size, room_size
+                )
+                self.room_door_pos[(i, j)] = [None] * 4
+                self.room_doors[(i, j)] = [None] * 4
+                self.room_locked[(i, j)] = False
+                self.room_objs[(i, j)] = []
+
+        for j in range(num_rows):
+            for i in range(num_cols):
+                top_x, top_y = i * (room_size - 1), j * (room_size - 1)
+                x_l, y_l = top_x + 1, top_y + 1
+                x_m, y_m = top_x + room_size - 1, top_y + room_size - 1
+                dp = self.room_door_pos[(i, j)]
+                if i < num_cols - 1:
+                    dp[0] = (x_m, self.rand_int(y_l, y_m))
+                if j < num_rows - 1:
+                    dp[1] = (self.rand_int(x_l, x_m), y_m)
+                if i > 0:
+                    dp[2] = self.room_door_pos[(i - 1, j)][0]
+                if j > 0:
+                    dp[3] = self.room_door_pos[(i, j - 1)][1]
+
+        self.agent_pos = (
+            (num_cols // 2) * (room_size - 1) + room_size // 2,
+            (num_rows // 2) * (room_size - 1) + room_size // 2,
+        )
+        self.agent_dir = 0
+
+    def neighbor(self, i: int, j: int, k: int):
+        di, dj = self._NEIGHBOR[k]
+        ni, nj = i + di, j + dj
+        if 0 <= ni < self.num_cols and 0 <= nj < self.num_rows:
+            return (ni, nj)
+        return None
+
+    def room_top(self, i: int, j: int) -> tuple[int, int]:
+        return (i * (self.room_size - 1), j * (self.room_size - 1))
+
+    def add_door(self, i, j, door_idx=None, color=None, locked=None):
+        """reference: minigrid/core/roomgrid.py:230-273; returns
+        (color_name, pos)."""
+        if door_idx is None:
+            while True:
+                door_idx = self.rand_int(0, 4)
+                if (
+                    self.neighbor(i, j, door_idx)
+                    and self.room_doors[(i, j)][door_idx] is None
+                ):
+                    break
+        if color is None:
+            color = self.rand_elem(_COLOR_NAMES)
+        if locked is None:
+            locked = self.rand_bool()
+
+        assert self.room_doors[(i, j)][door_idx] is None, "door already exists"
+        self.room_locked[(i, j)] = locked
+        pos = self.room_door_pos[(i, j)][door_idx]
+        state = STATE_LOCKED if locked else 1
+        self.set(pos[0], pos[1], pcell(OBJ_DOOR, COLOR_TO_IDX[color], state))
+        self.room_doors[(i, j)][door_idx] = True
+        n = self.neighbor(i, j, door_idx)
+        self.room_doors[n][(door_idx + 2) % 4] = True
+        return color, pos
+
+    def remove_wall(self, i, j, wall_idx):
+        """reference: minigrid/core/roomgrid.py:276-311."""
+        tx, ty = self.room_top(i, j)
+        w = h = self.room_size
+        if wall_idx == 0:
+            for t in range(1, h - 1):
+                self.set(tx + w - 1, ty + t, None)
+        elif wall_idx == 1:
+            for t in range(1, w - 1):
+                self.set(tx + t, ty + h - 1, None)
+        elif wall_idx == 2:
+            for t in range(1, h - 1):
+                self.set(tx, ty + t, None)
+        else:
+            for t in range(1, w - 1):
+                self.set(tx + t, ty, None)
+        self.room_doors[(i, j)][wall_idx] = True
+        n = self.neighbor(i, j, wall_idx)
+        self.room_doors[n][(wall_idx + 2) % 4] = True
+
+    def _reject_next_to(self, _b, pos):
+        sx, sy = self.agent_pos
+        return abs(sx - pos[0]) + abs(sy - pos[1]) < 2
+
+    def place_in_room(self, i, j, packed, obj_key=None, contains=None):
+        """reference: minigrid/core/roomgrid.py:183-197."""
+        pos = self.place_obj(
+            packed,
+            self.room_top(i, j),
+            (self.room_size, self.room_size),
+            reject_fn=self._reject_next_to,
+            max_tries=1000,
+        )
+        if contains is not None:
+            self.contains[pos[0], pos[1]] = contains
+        self.room_objs[(i, j)].append(obj_key)
+        return pos
+
+    def add_object(self, i, j, kind=None, color=None):
+        """reference: minigrid/core/roomgrid.py:199-227; returns
+        (kind, color_name, pos)."""
+        if kind is None:
+            kind = self.rand_elem(["key", "ball", "box"])
+        if color is None:
+            color = self.rand_elem(_COLOR_NAMES)
+        pos = self.place_in_room(
+            i, j, pcell(_TYPE_BY_NAME[kind], COLOR_TO_IDX[color]), (kind, color)
+        )
+        return kind, color, pos
+
+    def place_agent_room(self, i=None, j=None, rand_dir=True):
+        """reference: minigrid/core/roomgrid.py:313-334 — re-place until the
+        front cell is empty or a wall."""
+        if i is None:
+            i = self.rand_int(0, self.num_cols)
+        if j is None:
+            j = self.rand_int(0, self.num_rows)
+        top = self.room_top(i, j)
+        size = (self.room_size, self.room_size)
+        while True:
+            self.place_agent(top, size, rand_dir, max_tries=1000)
+            dx, dy = [(1, 0), (0, 1), (-1, 0), (0, -1)][self.agent_dir]
+            fx, fy = self.agent_pos[0] + dx, self.agent_pos[1] + dy
+            front = self.grid[fx, fy]
+            if front == P_EMPTY or (front & 0xFF) == OBJ_WALL:
+                break
+        return self.agent_pos
+
+    def connect_all(self, door_colors=None, max_itrs: int = 5000):
+        """reference: minigrid/core/roomgrid.py:336-394."""
+        if door_colors is None:
+            door_colors = _COLOR_NAMES
+        start = (
+            self.agent_pos[0] // (self.room_size - 1),
+            self.agent_pos[1] // (self.room_size - 1),
+        )
+
+        def find_reach():
+            reach = set()
+            stack = [start]
+            while stack:
+                room = stack.pop()
+                if room in reach:
+                    continue
+                reach.add(room)
+                for k in range(4):
+                    if self.room_doors[room][k]:
+                        stack.append(self.neighbor(room[0], room[1], k))
+            return reach
+
+        num_itrs = 0
+        while True:
+            if num_itrs > max_itrs:
+                raise RecursionError("connect_all failed")
+            num_itrs += 1
+            if len(find_reach()) == self.num_rows * self.num_cols:
+                break
+            i = self.rand_int(0, self.num_cols)
+            j = self.rand_int(0, self.num_rows)
+            k = self.rand_int(0, 4)
+            if not self.room_door_pos[(i, j)][k] or self.room_doors[(i, j)][k]:
+                continue
+            n = self.neighbor(i, j, k)
+            if self.room_locked[(i, j)] or self.room_locked[n]:
+                continue
+            color = self.rand_elem(door_colors)
+            self.add_door(i, j, k, color, False)
+
+    def add_distractors(self, i=None, j=None, num_distractors=10, all_unique=True):
+        """reference: minigrid/core/roomgrid.py:396-438."""
+        objs = []
+        for room, items in self.room_objs.items():
+            objs.extend(o for o in items if o is not None)
+        dists = []
+        while len(dists) < num_distractors:
+            color = self.rand_elem(_COLOR_NAMES)
+            kind = self.rand_elem(["key", "ball", "box"])
+            obj = (kind, color)
+            if all_unique and obj in objs:
+                continue
+            room_i = self.rand_int(0, self.num_cols) if i is None else i
+            room_j = self.rand_int(0, self.num_rows) if j is None else j
+            self.add_object(room_i, room_j, *obj)
+            objs.append(obj)
+            dists.append(obj)
+        return dists
+
+
+def _roomgrid_builder(env, b: HostBuilder) -> HostRoomGrid:
+    """Fresh HostRoomGrid continuing ``b``'s RNG stream; its result is
+    copied back into ``b`` by ``_finish_roomgrid``."""
+    eb = env.builder
+    return HostRoomGrid(eb.room_size, eb.num_rows, eb.num_cols, b.rng)
+
+
+def _finish_roomgrid(b: HostBuilder, rg: HostRoomGrid):
+    b.grid = rg.grid
+    b.contains = rg.contains
+    b.agent_pos = rg.agent_pos
+    b.agent_dir = rg.agent_dir
+
+
+def _gen_unlock(env, b: HostBuilder):
+    # reference: minigrid/envs/unlock.py:76-87
+    rg = _roomgrid_builder(env, b)
+    color, door_pos = rg.add_door(0, 0, 0, locked=True)
+    rg.add_object(0, 0, "key", color)
+    rg.place_agent_room(0, 0)
+    _finish_roomgrid(b, rg)
+    return {"extra": {"door_pos": np.asarray(door_pos, np.int32)}}
+
+
+def _gen_unlockpickup(env, b: HostBuilder):
+    # reference: minigrid/envs/unlockpickup.py:83-96 and
+    # blockedunlockpickup.py:90-106 (blocked adds a ball before the key)
+    from minigrid_tpu.core.mission import mission_vec
+    from minigrid_tpu.envs.unlock import _MISSION_PICKUP
+
+    rg = _roomgrid_builder(env, b)
+    _, box_color, _ = rg.add_object(1, 0, kind="box")
+    door_color, door_pos = rg.add_door(0, 0, 0, locked=True)
+    if env.blocked:
+        ball_color = rg.rand_color()
+        rg.set(door_pos[0] - 1, door_pos[1], pcell(OBJ_BALL, ball_color))
+    rg.add_object(0, 0, "key", door_color)
+    rg.place_agent_room(0, 0)
+    _finish_roomgrid(b, rg)
+    c = COLOR_TO_IDX[box_color]
+    return {
+        "extra": {"target_color": np.int32(c)},
+        "mission": mission_vec(_MISSION_PICKUP, c, OBJ_BOX),
+    }
+
+
+def _gen_keycorridor(env, b: HostBuilder):
+    # reference: minigrid/envs/keycorridor.py:104-127
+    from minigrid_tpu.core.mission import mission_vec
+    from minigrid_tpu.envs.unlock import _MISSION_PICKUP
+
+    rg = _roomgrid_builder(env, b)
+    for j in range(1, rg.num_rows):
+        rg.remove_wall(1, j, 3)
+    room_idx = rg.rand_int(0, rg.num_rows)
+    door_color, _ = rg.add_door(2, room_idx, 2, locked=True)
+    kind = {OBJ_BALL: "ball", OBJ_KEY: "key"}[env.obj_kind]
+    _, obj_color, _ = rg.add_object(2, room_idx, kind=kind)
+    rg.add_object(0, rg.rand_int(0, rg.num_rows), "key", door_color)
+    rg.place_agent_room(1, rg.num_rows // 2)
+    rg.connect_all()
+    _finish_roomgrid(b, rg)
+    c = COLOR_TO_IDX[obj_color]
+    return {
+        "extra": {"target_color": np.int32(c)},
+        "mission": mission_vec(_MISSION_PICKUP, c, int(env.obj_kind)),
+    }
+
+
+def _obstructed_prelude(env, b: HostBuilder):
+    # reference: minigrid/envs/obstructedmaze.py:113-126
+    rg = _roomgrid_builder(env, b)
+    door_colors = rg.rand_subset(_COLOR_NAMES, len(_COLOR_NAMES))
+    return rg, door_colors
+
+
+def _obstructed_add_door(rg, door_colors, i, j, door_idx, color, locked,
+                         key_in_box, blocked, add_key=True):
+    # reference: minigrid/envs/obstructedmaze.py:137-165
+    door_color, pos = rg.add_door(i, j, door_idx, color, locked=locked)
+    if blocked:
+        vec = HostRoomGrid._NEIGHBOR[door_idx]
+        # blocking_ball_color = COLOR_NAMES[1] = "green"
+        rg.set(pos[0] - vec[0], pos[1] - vec[1], pcell(OBJ_BALL, COLOR_TO_IDX["green"]))
+    if locked and add_key:
+        _obstructed_add_key(rg, i, j, door_color, key_in_box)
+    return door_color, pos
+
+
+def _obstructed_add_key(rg, i, j, color, key_in_box):
+    key_packed = pcell(OBJ_KEY, COLOR_TO_IDX[color])
+    if key_in_box:
+        # box_color = COLOR_NAMES[2] = "grey"; key hidden in the contains plane
+        rg.place_in_room(
+            i, j, pcell(OBJ_BOX, COLOR_TO_IDX["grey"]), ("box", "grey"),
+            contains=key_packed & 0xFFFF,
+        )
+    else:
+        rg.place_in_room(i, j, key_packed, ("key", color))
+
+
+def _gen_obstructed_1dlhb(env, b: HostBuilder):
+    # reference: minigrid/envs/obstructedmaze.py:190-205
+    rg, door_colors = _obstructed_prelude(env, b)
+    _obstructed_add_door(
+        rg, door_colors, 0, 0, 0, door_colors[0], True, env.key_in_box, env.blocked
+    )
+    rg.add_object(1, 0, "ball", color="blue")  # ball_to_find_color = COLOR_NAMES[0]
+    rg.place_agent_room(0, 0)
+    _finish_roomgrid(b, rg)
+
+
+def _gen_obstructed_full(env, b: HostBuilder):
+    # reference: minigrid/envs/obstructedmaze.py:231-252
+    rg, door_colors = _obstructed_prelude(env, b)
+    middle = (1, 1)
+    side_rooms = [(2, 1), (1, 2), (0, 1), (1, 0)][: env.num_quarters]
+    for i, side in enumerate(side_rooms):
+        rg.add_door(middle[0], middle[1], i, door_colors[i], locked=False)
+        for k in (-1, 1):
+            _obstructed_add_door(
+                rg, door_colors, side[0], side[1], (i + k) % 4,
+                door_colors[(i + k) % len(door_colors)], True,
+                env.key_in_box, env.blocked,
+            )
+    corners = [(2, 0), (2, 2), (0, 2), (0, 0)][: env.num_quarters]
+    ball_room = rg.rand_elem(corners)
+    rg.add_object(ball_room[0], ball_room[1], "ball", color="blue")
+    rg.place_agent_room(env.agent_room[0], env.agent_room[1])
+    _finish_roomgrid(b, rg)
+
+
+def _gen_obstructed_full_v1(env, b: HostBuilder):
+    # reference: minigrid/envs/obstructedmaze_v1.py:37-75 — all doors and
+    # blocking balls first, then the keys.
+    rg, door_colors = _obstructed_prelude(env, b)
+    middle = (1, 1)
+    side_rooms = [(2, 1), (1, 2), (0, 1), (1, 0)][: env.num_quarters]
+    for i, side in enumerate(side_rooms):
+        rg.add_door(middle[0], middle[1], i, door_colors[i], locked=False)
+        for k in (-1, 1):
+            _obstructed_add_door(
+                rg, door_colors, side[0], side[1], (i + k) % 4,
+                door_colors[(i + k) % len(door_colors)], True,
+                env.key_in_box, env.blocked, add_key=False,
+            )
+        for k in (-1, 1):
+            _obstructed_add_key(
+                rg, side[0], side[1],
+                door_colors[(i + k) % len(door_colors)], env.key_in_box,
+            )
+    corners = [(2, 0), (2, 2), (0, 2), (0, 0)][: env.num_quarters]
+    ball_room = rg.rand_elem(corners)
+    rg.add_object(ball_room[0], ball_room[1], "ball", color="blue")
+    rg.place_agent_room(env.agent_room[0], env.agent_room[1])
+    _finish_roomgrid(b, rg)
+
+
 PARITY_GENERATORS: dict[str, Callable[[Any, HostBuilder], Any]] = {
     "EmptyEnv": _gen_empty,
     "DistShiftEnv": _gen_distshift,
@@ -728,11 +1103,28 @@ PARITY_GENERATORS: dict[str, Callable[[Any, HostBuilder], Any]] = {
     "PlaygroundEnv": _gen_playground,
     "LockedRoomEnv": _gen_lockedroom,
     "MultiRoomEnv": _gen_multiroom,
+    "UnlockEnv": _gen_unlock,
+    "UnlockPickupEnv": _gen_unlockpickup,
+    "BlockedUnlockPickupEnv": _gen_unlockpickup,
+    "KeyCorridorEnv": _gen_keycorridor,
+    "ObstructedMaze_1Dlhb": _gen_obstructed_1dlhb,
+    "ObstructedMaze_Full": _gen_obstructed_full,
+    "ObstructedMaze_Full_V1": _gen_obstructed_full_v1,
 }
 
 
+def _lookup_generator(env):
+    """Resolve a parity generator walking the env's MRO (registry variants
+    subclass the family classes)."""
+    for klass in type(env).__mro__:
+        gen = PARITY_GENERATORS.get(klass.__name__)
+        if gen is not None:
+            return gen
+    return None
+
+
 def supports_parity(env) -> bool:
-    return type(env).__name__ in PARITY_GENERATORS
+    return _lookup_generator(env) is not None
 
 
 def _np_random(seed: int) -> np.random.Generator:
@@ -757,7 +1149,7 @@ def parity_reset(env_or_id, seed: int):
         env = make(env_or_id)
     else:
         env = env_or_id
-    gen = PARITY_GENERATORS.get(type(env).__name__)
+    gen = _lookup_generator(env)
     if gen is None:
         raise NotImplementedError(
             f"no parity generator for {type(env).__name__}; see PARITY_GENERATORS"
@@ -815,8 +1207,7 @@ class ParityRollout:
         self.seed = seed
         self.rng = _np_random(seed)
         b = HostBuilder(self.env.width, self.env.height, self.rng)
-        gen = PARITY_GENERATORS[type(self.env).__name__]
-        self._host_extra = gen(self.env, b)
+        self._host_extra = _lookup_generator(self.env)(self.env, b)
         self._builder = b
         _, self.state = parity_reset(self.env, seed)
         self._step_fn = jax.jit(self._device_step)

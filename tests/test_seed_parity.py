@@ -60,6 +60,17 @@ PARITY_IDS = [
     "MiniGrid-LockedRoom-v0",
     "MiniGrid-MultiRoom-N4-S5-v0",
     "MiniGrid-MultiRoom-N6-v0",
+    "MiniGrid-Unlock-v0",
+    "MiniGrid-UnlockPickup-v0",
+    "MiniGrid-BlockedUnlockPickup-v0",
+    "MiniGrid-KeyCorridorS3R3-v0",
+    "MiniGrid-KeyCorridorS6R3-v0",
+    "MiniGrid-ObstructedMaze-1Dl-v0",
+    "MiniGrid-ObstructedMaze-1Dlhb-v0",
+    "MiniGrid-ObstructedMaze-2Dlh-v0",
+    "MiniGrid-ObstructedMaze-2Dlhb-v1",
+    "MiniGrid-ObstructedMaze-Full-v0",
+    "MiniGrid-ObstructedMaze-Full-v1",
 ]
 
 SEEDS = [0, 1, 7, 123, 9999]
