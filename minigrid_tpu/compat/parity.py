@@ -795,9 +795,12 @@ class HostRoomGrid(HostBuilder):
         pos = self.room_door_pos[(i, j)][door_idx]
         state = STATE_LOCKED if locked else 1
         self.set(pos[0], pos[1], pcell(OBJ_DOOR, COLOR_TO_IDX[color], state))
-        self.room_doors[(i, j)][door_idx] = True
+        # One shared dict per door (the reference shares one Door object
+        # between the two adjacent rooms).
+        door = {"color": color, "locked": locked, "pos": pos}
+        self.room_doors[(i, j)][door_idx] = door
         n = self.neighbor(i, j, door_idx)
-        self.room_doors[n][(door_idx + 2) % 4] = True
+        self.room_doors[n][(door_idx + 2) % 4] = door
         return color, pos
 
     def remove_wall(self, i, j, wall_idx):
@@ -922,9 +925,9 @@ class HostRoomGrid(HostBuilder):
                 continue
             room_i = self.rand_int(0, self.num_cols) if i is None else i
             room_j = self.rand_int(0, self.num_rows) if j is None else j
-            self.add_object(room_i, room_j, *obj)
+            _, _, pos = self.add_object(room_i, room_j, *obj)
             objs.append(obj)
-            dists.append(obj)
+            dists.append((kind, color, pos))
         return dists
 
 
@@ -1115,11 +1118,17 @@ PARITY_GENERATORS: dict[str, Callable[[Any, HostBuilder], Any]] = {
 
 def _lookup_generator(env):
     """Resolve a parity generator walking the env's MRO (registry variants
-    subclass the family classes)."""
+    subclass the family classes).  BabyAI levels dispatch to the shared
+    RoomGridLevel parity generator (compat/parity_babyai.py)."""
     for klass in type(env).__mro__:
         gen = PARITY_GENERATORS.get(klass.__name__)
         if gen is not None:
             return gen
+    from minigrid_tpu.compat import parity_babyai
+
+    for klass in type(env).__mro__:
+        if klass.__name__ in parity_babyai.BABYAI_GEN_MISSION:
+            return parity_babyai.babyai_parity_gen
     return None
 
 
@@ -1161,23 +1170,33 @@ def parity_reset(env_or_id, seed: int):
 
     # Template state from the device generator supplies the family's default
     # mission vector and extra-pytree structure; all parity-relevant leaves
-    # are overwritten from the host build.
-    template = env._generate(jax.random.PRNGKey(0))
+    # are overwritten from the host build.  Cached per env instance — device
+    # generation can be expensive (BabyAI rejection loops run eagerly here).
+    template = getattr(env, "_parity_template", None)
+    if template is None:
+        template = env._generate(jax.random.PRNGKey(0))
+        env._parity_template = template
     extra = template.extra
     if out.get("extra") is not None:
         extra = dict(template.extra or {})
         for k, v in out["extra"].items():
-            extra[k] = jnp.asarray(v)
+            # Arrays are normalized to jnp; structured pytrees (e.g. the
+            # BabyAI InstrState) pass through as-is.
+            extra[k] = jnp.asarray(v) if isinstance(v, (np.ndarray, int, np.integer, bool, tuple, list)) or hasattr(v, "dtype") and not hasattr(v, "replace") else v
     mission = out.get("mission")
     if mission is not None:
         template = template.replace(mission=jnp.asarray(mission, jnp.int32))
+    if out.get("max_steps") is not None:
+        template = template.replace(
+            max_steps=jnp.asarray(out["max_steps"], jnp.int32)
+        )
     state = template.replace(
         grid=jnp.asarray(b.grid),
         contains=jnp.asarray(b.contains),
         agent_x=jnp.asarray(b.agent_pos[0], jnp.int32),
         agent_y=jnp.asarray(b.agent_pos[1], jnp.int32),
         agent_dir=jnp.asarray(b.agent_dir, jnp.int32),
-        carrying=jnp.asarray(0, jnp.int32),
+        carrying=jnp.asarray(out.get("carrying", 0), jnp.int32),
         step_count=jnp.asarray(0, jnp.int32),
         terminated=jnp.asarray(False),
         truncated=jnp.asarray(False),
