@@ -1168,6 +1168,25 @@ def parity_reset(env_or_id, seed: int):
     out = gen(env, b) or {}
     assert b.agent_pos >= (0, 0) and b.agent_dir >= 0
 
+    if out.get("complete"):
+        # The generator supplied every episode-specific field — assemble the
+        # state directly, skipping the (possibly expensive) device template.
+        from minigrid_tpu.core.state import new_state
+
+        state = new_state(
+            grid=jnp.asarray(b.grid),
+            agent_pos=(int(b.agent_pos[0]), int(b.agent_pos[1])),
+            agent_dir=b.agent_dir,
+            rng=jax.random.PRNGKey(seed),
+            max_steps=out.get("max_steps", env.max_steps),
+            contains=jnp.asarray(b.contains),
+            mission=jnp.asarray(out["mission"], jnp.int32),
+            extra=out.get("extra"),
+        )
+        if out.get("carrying"):
+            state = state.replace(carrying=jnp.asarray(out["carrying"], jnp.int32))
+        return env, state
+
     # Template state from the device generator supplies the family's default
     # mission vector and extra-pytree structure; all parity-relevant leaves
     # are overwritten from the host build.  Cached per env instance — device

@@ -565,6 +565,270 @@ def _gm_putnext(env, rg):
     return instr
 
 
+def _gm_unlock_babyai(env, rg):
+    # reference: unlock.py:76-120.  Same np.int64 `is` quirks as
+    # GoToImpUnlock: the key-room loop never re-draws, distractors go to
+    # every room.  The color filter uses string identity, which DOES work.
+    id_ = rg.rand_int(0, rg.num_cols)
+    jd = rg.rand_int(0, rg.num_rows)
+    door_color, _ = rg.add_door(id_, jd, locked=True)
+    ik = rg.rand_int(0, rg.num_cols)
+    jk = rg.rand_int(0, rg.num_rows)
+    rg.add_object(ik, jk, "key", door_color)
+    if rg.rand_bool():
+        rg.connect_all(door_colors=[c for c in _COLOR_NAMES if c != door_color])
+    else:
+        rg.connect_all()
+    for i in range(rg.num_cols):
+        for j in range(rg.num_rows):
+            rg.add_distractors(i, j, num_distractors=3, all_unique=False)
+    while True:
+        rg.place_agent_room()
+        start = (
+            rg.agent_pos[0] // (rg.room_size - 1),
+            rg.agent_pos[1] // (rg.room_size - 1),
+        )
+        if start == (id_, jd):
+            continue
+        break
+    check_objs_reachable(rg)
+    return HAction("open", HDesc("door", door_color))
+
+
+def _gm_unlocklocal(env, rg):
+    # reference: unlock.py:161-169
+    door_color, _ = rg.add_door(1, 1, locked=True)
+    rg.add_object(1, 1, "key", door_color)
+    if env.distractors:
+        rg.add_distractors(1, 1, num_distractors=3)
+    rg.place_agent_room(1, 1)
+    return HAction("open", HDesc("door"))
+
+
+def _gm_keyinbox(env, rg):
+    # reference: unlock.py:219-229 — the key hides in the box's contains
+    # plane; the box color is a fresh draw.
+    door_color, _ = rg.add_door(1, 1, locked=True)
+    box_color = rg.rand_color()
+    key_packed = pcell(OBJ_KEY, COLOR_TO_IDX[door_color])
+    rg.place_in_room(
+        1, 1, pcell(OBJ_BOX, box_color), ("box", IDX_TO_COLOR[box_color]),
+        contains=key_packed & 0xFFFF,
+    )
+    rg.place_agent_room(1, 1)
+    return HAction("open", HDesc("door"))
+
+
+def _gm_unlockpickup_babyai(env, rg):
+    # reference: unlock.py:288-300
+    kind, color, _ = rg.add_object(1, 0, kind="box")
+    door_color, _ = rg.add_door(0, 0, 0, locked=True)
+    rg.add_object(0, 0, "key", door_color)
+    if env.distractors:
+        rg.add_distractors(num_distractors=4)
+    rg.place_agent_room(0, 0)
+    return HAction("pickup", HDesc(kind, color))
+
+
+def _gm_blockedunlockpickup_babyai(env, rg):
+    # reference: unlock.py:365-379 — instruction names the type only
+    kind, _, _ = rg.add_object(1, 0, kind="box")
+    _, pos = rg.add_door(0, 0, 0, locked=True)
+    ball_color = rg.rand_color()
+    rg.set(pos[0] - 1, pos[1], pcell(OBJ_BALL, ball_color))
+    door_color = None  # key color == door color, drawn inside add_door
+    # re-read the door record for its color
+    door = rg.room_doors[(0, 0)][0]
+    rg.add_object(0, 0, "key", door["color"])
+    rg.place_agent_room(0, 0)
+    return HAction("pickup", HDesc(kind))
+
+
+def _gm_unlocktounlock(env, rg):
+    # reference: unlock.py:438-457
+    colors = rg.rand_subset(_COLOR_NAMES, 2)
+    rg.add_door(0, 0, door_idx=0, color=colors[0], locked=True)
+    rg.add_object(2, 0, kind="key", color=colors[0])
+    rg.add_door(1, 0, door_idx=0, color=colors[1], locked=True)
+    rg.add_object(1, 0, kind="key", color=colors[1])
+    kind, _, _ = rg.add_object(0, 0, kind="ball")
+    rg.place_agent_room(1, 0)
+    return HAction("pickup", HDesc(kind))
+
+
+def _gm_actionobjdoor(env, rg):
+    # reference: other.py:79-99
+    objs = [(k, c) for k, c, _ in rg.add_distractors(1, 1, num_distractors=5)]
+    for _ in range(4):
+        color, _ = rg.add_door(1, 1, locked=False)
+        objs.append(("door", color))
+    rg.place_agent_room(1, 1)
+    kind, color = rg.rand_elem(objs)
+    desc = HDesc(kind, color)
+    if kind == "door":
+        return HAction("goto" if rg.rand_bool() else "open", desc)
+    return HAction("goto" if rg.rand_bool() else "pickup", desc)
+
+
+def _gm_findobj(env, rg):
+    # reference: other.py:152-160 — NOTE the reference draws (i, j) with the
+    # bounds swapped (i from num_rows, j from num_cols); mirrored as-is.
+    i = rg.rand_int(0, rg.num_rows)
+    j = rg.rand_int(0, rg.num_cols)
+    kind, _, _ = rg.add_object(i, j)
+    rg.place_agent_room(1, 1)
+    rg.connect_all()
+    return HAction("pickup", HDesc(kind))
+
+
+def _gm_keycorridor_babyai(env, rg):
+    # reference: other.py:240-260 — instruction names the type only
+    for j in range(1, rg.num_rows):
+        rg.remove_wall(1, j, 3)
+    room_idx = rg.rand_int(0, rg.num_rows)
+    door_color, _ = rg.add_door(2, room_idx, 2, locked=True)
+    kind = {OBJ_BALL: "ball", OBJ_KEY: "key", OBJ_BOX: "box"}[env.obj_kind]
+    rg.add_object(2, room_idx, kind=kind)
+    rg.add_object(0, rg.rand_int(0, rg.num_rows), "key", door_color)
+    rg.place_agent_room(1, rg.num_rows // 2)
+    rg.connect_all()
+    return HAction("pickup", HDesc(kind))
+
+
+def _gm_oneroom(env, rg):
+    # reference: other.py:316-320
+    kind, _, _ = rg.add_object(0, 0, kind="ball")
+    rg.place_agent_room()
+    return HAction("pickup", HDesc(kind))
+
+
+def _gm_movetwoacross(env, rg):
+    # reference: other.py:396-424
+    rg.place_agent_room(0, 0)
+    objs_l = rg.add_distractors(0, 0, env.objs_per_room)
+    objs_r = rg.add_distractors(1, 0, env.objs_per_room)
+    rg.remove_wall(0, 0, 0)
+    objs_l = rg.rand_subset(objs_l, 2)
+    objs_r = rg.rand_subset(objs_r, 2)
+    a, d = objs_l[0], objs_l[1]
+    b, c = objs_r[0], objs_r[1]
+    return HSeq(
+        "before",
+        HPutNext(HDesc(a[0], a[1]), HDesc(b[0], b[1])),
+        HPutNext(HDesc(c[0], c[1]), HDesc(d[0], d[1])),
+    )
+
+
+OBJ_TYPES_NOT_DOOR = [t for t in OBJ_TYPES if t != "door"]
+
+
+def _room_of(rg, pos):
+    return (pos[0] // (rg.room_size - 1), pos[1] // (rg.room_size - 1))
+
+
+def _pos_inside_room(rg, room, pos):
+    rs = rg.room_size
+    tx, ty = room[0] * (rs - 1), room[1] * (rs - 1)
+    return tx <= pos[0] < tx + rs and ty <= pos[1] < ty + rs
+
+
+def _lg_add_locked_room(env, rg):
+    # reference: levelgen.py:85-112
+    while True:
+        i = rg.rand_int(0, rg.num_cols)
+        j = rg.rand_int(0, rg.num_rows)
+        door_idx = rg.rand_int(0, 4)
+        locked_room = (i, j)
+        if rg.neighbor(i, j, door_idx) is None:
+            continue
+        door_color, _ = rg.add_door(i, j, door_idx, locked=True)
+        break
+    while True:
+        i = rg.rand_int(0, rg.num_cols)
+        j = rg.rand_int(0, rg.num_rows)
+        if (i, j) == locked_room:
+            continue
+        rg.add_object(i, j, "key", door_color)
+        break
+    return locked_room
+
+
+def _lg_rand_obj(env, rg, locked_room, types=OBJ_TYPES, max_tries=100):
+    # reference: levelgen.py:114-156
+    num_tries = 0
+    while True:
+        if num_tries > max_tries:
+            raise RecursionError("failed to find suitable object")
+        num_tries += 1
+        color = rg.rand_elem([None, *_COLOR_NAMES])
+        type_ = rg.rand_elem(types)
+        loc = None
+        if env.locations and rg.rand_bool():
+            loc = rg.rand_elem(LOC_NAMES)
+        desc = HDesc(type_, color, loc)
+        poss = find_matching(rg, desc)
+        if len(poss) == 0:
+            continue
+        if not env.implicit_unlock and locked_room is not None:
+            not_locked = [p for p in poss if not _pos_inside_room(rg, locked_room, p)]
+            if len(not_locked) == 0:
+                continue
+        return desc
+
+
+def _lg_rand_instr(env, rg, locked_room, action_kinds, instr_kinds, depth=0):
+    # reference: levelgen.py:158-210
+    kind = rg.rand_elem(instr_kinds)
+    if kind == "action":
+        action = rg.rand_elem(action_kinds)
+        if action == "goto":
+            return HAction("goto", _lg_rand_obj(env, rg, locked_room))
+        if action == "pickup":
+            return HAction(
+                "pickup", _lg_rand_obj(env, rg, locked_room, types=OBJ_TYPES_NOT_DOOR)
+            )
+        if action == "open":
+            return HAction("open", _lg_rand_obj(env, rg, locked_room, types=["door"]))
+        return HPutNext(
+            _lg_rand_obj(env, rg, locked_room, types=OBJ_TYPES_NOT_DOOR),
+            _lg_rand_obj(env, rg, locked_room),
+        )
+    if kind == "and":
+        a = _lg_rand_instr(env, rg, locked_room, action_kinds, ["action"], depth + 1)
+        b = _lg_rand_instr(env, rg, locked_room, action_kinds, ["action"], depth + 1)
+        return HSeq("and", a, b)
+    # seq
+    a = _lg_rand_instr(env, rg, locked_room, action_kinds, ["action", "and"], depth + 1)
+    b = _lg_rand_instr(env, rg, locked_room, action_kinds, ["action", "and"], depth + 1)
+    return HSeq(rg.rand_elem(["before", "after"]), a, b)
+
+
+def _gm_levelgen(env, rg):
+    # reference: levelgen.py:58-83.  NOTE ``self.locked_room`` is STICKY in
+    # the reference — it is never cleared between generation attempts or
+    # resets, so the ``rand_obj`` implicit-unlock position filter can act on
+    # a stale room from an earlier attempt/episode, while the agent-placement
+    # identity check (`start_room is self.locked_room`) only ever matches a
+    # room added in THIS attempt.  Both behaviors are mirrored.
+    fresh_locked = None
+    if float(rg.rng.uniform(0, 1)) < env.locked_room_prob:
+        fresh_locked = _lg_add_locked_room(env, rg)
+        env._parity_locked_room = fresh_locked
+    sticky_locked = getattr(env, "_parity_locked_room", None)
+    rg.connect_all()
+    rg.add_distractors(num_distractors=env.num_dists, all_unique=False)
+    while True:
+        rg.place_agent_room()
+        if fresh_locked is not None and _room_of(rg, rg.agent_pos) == fresh_locked:
+            continue
+        break
+    if not env.unblocking:
+        check_objs_reachable(rg)
+    return _lg_rand_instr(
+        env, rg, sticky_locked, list(env.action_kinds), list(env.instr_kinds)
+    )
+
+
 BABYAI_GEN_MISSION = {
     "GoToRedBallGrey": _gm_gotoredballgrey,
     "GoToRedBall": _gm_gotoredball,
@@ -586,13 +850,25 @@ BABYAI_GEN_MISSION = {
     "PickupAbove": _gm_pickupabove,
     "PutNextLocal": _gm_putnextlocal,
     "PutNext": _gm_putnext,
+    "Unlock": _gm_unlock_babyai,
+    "UnlockLocal": _gm_unlocklocal,
+    "KeyInBox": _gm_keyinbox,
+    "UnlockPickup": _gm_unlockpickup_babyai,
+    "BlockedUnlockPickup": _gm_blockedunlockpickup_babyai,
+    "UnlockToUnlock": _gm_unlocktounlock,
+    "ActionObjDoor": _gm_actionobjdoor,
+    "FindObjS5": _gm_findobj,
+    "KeyCorridor": _gm_keycorridor_babyai,
+    "OneRoomS8": _gm_oneroom,
+    "MoveTwoAcross": _gm_movetwoacross,
+    "LevelGen": _gm_levelgen,
 }
 
 # Families whose reference class carries an ``unblocking`` attribute (only
 # LevelGen-derived levels do — reference levelgen.py:47); the RoomGridLevel
 # families above do not, so the key/locked-door validation is skipped for
 # them (reference roomgrid_level.py:178-190 checks hasattr).
-UNBLOCKING_FAMILIES: set[str] = set()
+UNBLOCKING_FAMILIES: set[str] = {"LevelGen"}
 
 
 def babyai_parity_gen(env, b: HostBuilder):
@@ -649,6 +925,7 @@ def babyai_parity_gen(env, b: HostBuilder):
             "extra": {"instr": ist},
             "mission": np.asarray(encode_babyai_mission(ist)),
             "max_steps": max_steps,
+            "complete": True,
         }
     )
     return out

@@ -152,10 +152,10 @@ class UnlockPickup(RoomGridLevel):
 
     def __init__(self, distractors: bool = False, max_steps: int | None = None, **kwargs):
         self.distractors = distractors
-        room_size = 6
-        if max_steps is None:
-            max_steps = 8 * room_size**2
-        super().__init__(num_rows=1, num_cols=2, room_size=room_size, max_steps=max_steps, **kwargs)
+        # The reference's `if max is None:` tests the BUILTIN max, so its
+        # 8*room_size**2 default is dead code and max_steps stays dynamic
+        # (reference unlock.py:301-309) — mirrored for parity.
+        super().__init__(num_rows=1, num_cols=2, room_size=6, max_steps=max_steps, **kwargs)
 
     def gen_attempt(self, key):
         b = self.builder

@@ -53,6 +53,28 @@ BABYAI_PARITY_IDS = [
     "BabyAI-PutNextLocal-v0",
     "BabyAI-PutNextS5N2-v0",
     "BabyAI-PutNextS5N2Carrying-v0",
+    "BabyAI-Unlock-v0",
+    "BabyAI-UnlockLocal-v0",
+    "BabyAI-UnlockLocalDist-v0",
+    "BabyAI-KeyInBox-v0",
+    "BabyAI-UnlockPickup-v0",
+    "BabyAI-UnlockPickupDist-v0",
+    "BabyAI-BlockedUnlockPickup-v0",
+    "BabyAI-UnlockToUnlock-v0",
+    "BabyAI-ActionObjDoor-v0",
+    "BabyAI-FindObjS5-v0",
+    "BabyAI-KeyCorridorS3R3-v0",
+    "BabyAI-KeyCorridorS6R3-v0",
+    "BabyAI-OneRoomS8-v0",
+    "BabyAI-MoveTwoAcrossS8N9-v0",
+    "BabyAI-PickupLoc-v0",
+    "BabyAI-GoToSeq-v0",
+    "BabyAI-Synth-v0",
+    "BabyAI-SynthLoc-v0",
+    "BabyAI-SynthSeq-v0",
+    "BabyAI-MiniBossLevel-v0",
+    "BabyAI-BossLevel-v0",
+    "BabyAI-BossLevelNoUnlock-v0",
 ]
 
 SEEDS = [0, 3, 41]
