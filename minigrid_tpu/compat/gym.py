@@ -32,7 +32,13 @@ class GymnasiumMiniGrid(_EnvBase):
 
     metadata = {"render_modes": ["rgb_array"], "render_fps": 10}
 
-    def __init__(self, env, render_mode: str | None = None, tile_size: int = 32):
+    def __init__(
+        self,
+        env,
+        render_mode: str | None = None,
+        tile_size: int = 32,
+        parity: bool = False,
+    ):
         import gymnasium as gym
 
         self.env = env
@@ -41,6 +47,11 @@ class GymnasiumMiniGrid(_EnvBase):
         self.state = None
         self._episode = 0
         self._base_seed = 0
+        # Seed-parity mode: reset(seed=s) rebuilds exactly the episode the
+        # reference builds for s (minigrid_tpu/compat/parity.py), and
+        # step-time RNG (DynamicObstacles obstacle walk) is host-mirrored.
+        self.parity = bool(parity)
+        self._parity_roll = None
         self._reset_fn = jax.jit(env.reset)
         self._step_fn = jax.jit(env.step_env)
         self._frame_fn = jax.jit(
@@ -68,6 +79,16 @@ class GymnasiumMiniGrid(_EnvBase):
     def reset(self, *, seed: int | None = None, options: dict | None = None):
         if _EnvBase is not object:
             super().reset(seed=seed)  # seeds self.np_random per gym contract
+        if self.parity:
+            from minigrid_tpu.compat.parity import ParityRollout
+
+            if self._parity_roll is None:
+                self._parity_roll = ParityRollout(self.env, seed)
+                obs = self._parity_roll.observation()
+            else:
+                obs = self._parity_roll.reset(seed=seed)
+            self.state = self._parity_roll.state
+            return self._convert_obs(obs), {}
         if seed is not None:
             self._base_seed = seed
             self._episode = 0
@@ -80,6 +101,10 @@ class GymnasiumMiniGrid(_EnvBase):
 
     def step(self, action):
         assert self.state is not None, "call reset() before step()"
+        if self.parity:
+            obs, reward, terminated, truncated = self._parity_roll.step(int(action))
+            self.state = self._parity_roll.state
+            return self._convert_obs(obs), float(reward), terminated, truncated, {}
         self.state, reward = self._step_fn(self.state, int(action))
         obs = self.env.observation(self.state)
         return (
@@ -145,9 +170,19 @@ class GymnasiumMiniGrid(_EnvBase):
         }
 
 
-def gym_make(env_id: str, render_mode: str | None = None, **kwargs):
-    """``gym.make``-alike returning the adapter directly."""
-    return GymnasiumMiniGrid(make(env_id, **kwargs), render_mode=render_mode)
+def gym_make(
+    env_id: str,
+    render_mode: str | None = None,
+    parity: bool = False,
+    **kwargs,
+):
+    """``gym.make``-alike returning the adapter directly.
+
+    ``parity=True`` makes ``reset(seed=s)`` reproduce the reference's episode
+    for ``s`` bit-exactly (see minigrid_tpu/compat/parity.py)."""
+    return GymnasiumMiniGrid(
+        make(env_id, **kwargs), render_mode=render_mode, parity=parity
+    )
 
 
 def register_gymnasium_envs(prefix: str = "") -> int:

@@ -1144,6 +1144,14 @@ def _np_random(seed: int) -> np.random.Generator:
     return rng
 
 
+def _resolve_env(env_or_id):
+    if isinstance(env_or_id, str):
+        from minigrid_tpu.registry import make
+
+        return make(env_or_id)
+    return env_or_id
+
+
 def parity_reset(env_or_id, seed: int):
     """Reset in parity mode: build the episode the reference would build for
     ``seed`` and return ``(env, EnvState)`` ready for device stepping.
@@ -1152,19 +1160,23 @@ def parity_reset(env_or_id, seed: int):
     post-``reset(seed=seed)`` state bit-for-bit (verified live against
     ``/root/reference`` in tests/test_seed_parity.py).
     """
-    if isinstance(env_or_id, str):
-        from minigrid_tpu.registry import make
+    env = _resolve_env(env_or_id)
+    return env, generate_with_rng(env, _np_random(seed), seed)
 
-        env = make(env_or_id)
-    else:
-        env = env_or_id
+
+def generate_with_rng(env, rng: np.random.Generator, key_seed: int = 0):
+    """Host-generate the next episode by CONTINUING ``rng``'s stream —
+    exactly what the reference does on ``reset()`` without a seed (gymnasium
+    keeps ``np_random``; generation draws continue from where the previous
+    episode left off)."""
     gen = _lookup_generator(env)
     if gen is None:
         raise NotImplementedError(
             f"no parity generator for {type(env).__name__}; see PARITY_GENERATORS"
         )
+    seed = key_seed
 
-    b = HostBuilder(env.width, env.height, _np_random(seed))
+    b = HostBuilder(env.width, env.height, rng)
     out = gen(env, b) or {}
     assert b.agent_pos >= (0, 0) and b.agent_dir >= 0
 
@@ -1185,7 +1197,7 @@ def parity_reset(env_or_id, seed: int):
         )
         if out.get("carrying"):
             state = state.replace(carrying=jnp.asarray(out["carrying"], jnp.int32))
-        return env, state
+        return state
 
     # Template state from the device generator supplies the family's default
     # mission vector and extra-pytree structure; all parity-relevant leaves
@@ -1222,7 +1234,7 @@ def parity_reset(env_or_id, seed: int):
         rng=jax.random.PRNGKey(seed),
         extra=extra,
     )
-    return env, state
+    return state
 
 
 class ParityRollout:
@@ -1236,19 +1248,21 @@ class ParityRollout:
     transition runs.
     """
 
-    def __init__(self, env_or_id, seed: int):
-        if isinstance(env_or_id, str):
-            from minigrid_tpu.registry import make
-
-            env_or_id = make(env_or_id)
-        self.env = env_or_id
-        self.seed = seed
-        self.rng = _np_random(seed)
-        b = HostBuilder(self.env.width, self.env.height, self.rng)
-        self._host_extra = _lookup_generator(self.env)(self.env, b)
-        self._builder = b
-        _, self.state = parity_reset(self.env, seed)
+    def __init__(self, env_or_id, seed: int | None = 0):
+        self.env = _resolve_env(env_or_id)
+        self._builder = HostBuilder(self.env.width, self.env.height, None)
         self._step_fn = jax.jit(self._device_step)
+        self.reset(seed=seed)
+
+    def reset(self, seed: int | None = None):
+        """Mirror of ``gymnasium.Env.reset``: a seed restarts the host RNG
+        stream, no seed continues it (like the reference's np_random)."""
+        if seed is not None or not hasattr(self, "rng"):
+            self.rng = _np_random(seed)
+            self.seed = seed if seed is not None else 0
+        self.state = generate_with_rng(self.env, self.rng, self.seed)
+        self._builder.rng = self.rng
+        return self.observation()
 
     def observation(self):
         return self.env.observation(self.state)

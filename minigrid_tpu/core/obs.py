@@ -22,6 +22,7 @@ slice+rotate_left semantics by the golden tests.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from minigrid_tpu.core.constants import (
@@ -53,52 +54,58 @@ def view_world_coords(agent_x, agent_y, agent_dir, view_size: int):
 
 
 def extract_view(grid: jnp.ndarray, agent_x, agent_y, agent_dir, view_size: int):
-    """One-hot-read the packed int32[v, v] agent-frame view; out-of-bounds
-    reads as Wall.
+    """Packed int32[v, v] agent-frame view; out-of-bounds reads as Wall.
 
     Matches reference ``Grid.slice`` OOB behavior
     (minigrid/core/grid.py:136-141) composed with the rotations of
     ``gen_obs_grid`` (minigrid/minigrid_env.py:609-612).
+
+    Two-stage formulation: rotate the whole grid into the canonical
+    agent-faces-up frame (a 4-way select over transposes/flips — free
+    relayouts plus one select), then the window read becomes SEPARABLE: a
+    [v, S] row one-hot followed by a [v, S] column one-hot instead of one
+    [v*v, W*H] contraction — ~3x fewer VPU ops, measured 1.5x faster at
+    65536-env batches (tools/perf_interleave.py).
     """
     width, height = grid.shape[:2]
     v = view_size
-    wx, wy = view_world_coords(agent_x, agent_y, agent_dir, v)
-    inb = (wx >= 0) & (wx < width) & (wy >= 0) & (wy < height)
-    flat_idx = jnp.clip(wx, 0, width - 1) * height + jnp.clip(wy, 0, height - 1)
-    # [v*v, W*H] one-hot contraction, fused by XLA into one pass over the grid.
-    gridf = grid.reshape(width * height)
-    onehot = flat_idx.reshape(v * v, 1) == jnp.arange(width * height, dtype=jnp.int32)
-    cells = jnp.max(jnp.where(onehot, gridf, 0), axis=-1).reshape(v, v)
-    return jnp.where(inb, cells, WALL_CELL)
+    if width != height:
+        # Square-pad with walls so the four rotation variants share a shape
+        # (padding reads as Wall, same as out-of-bounds).
+        s = max(width, height)
+        grid = jnp.pad(
+            grid,
+            ((0, s - width), (0, s - height)),
+            constant_values=WALL_CELL,
+        )
+    s = grid.shape[0]
+    ax = jnp.asarray(agent_x, jnp.int32)
+    ay = jnp.asarray(agent_y, jnp.int32)
 
+    g0 = grid  # dir 3 (north) — already facing up
+    g1 = grid[::-1, ::-1]  # dir 1 (south)
+    gt = grid.T
+    g2 = gt[:, ::-1]  # dir 0 (east)
+    g3 = gt[::-1, :]  # dir 2 (west)
+    rg = jax.lax.switch(agent_dir, [lambda: g2, lambda: g1, lambda: g3, lambda: g0])
+    rx = jax.lax.switch(
+        agent_dir, [lambda: ay, lambda: s - 1 - ax, lambda: s - 1 - ay, lambda: ax]
+    )
+    ry = jax.lax.switch(
+        agent_dir, [lambda: s - 1 - ax, lambda: s - 1 - ay, lambda: ax, lambda: ay]
+    )
 
-def _flood_right(m0: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
-    """Closed form of the in-row chain ``m[i+1] |= m[i] & trans[i]``.
-
-    m[i] = m0[i] OR (exists k < i with m0[k] and trans true on [k, i-1]),
-    computed with two cumulative maxima instead of a sequential loop.
-    """
-    import jax.lax as lax
-
-    v = m0.shape[-1]
-    idx = jnp.arange(v, dtype=jnp.int32)
-    last_vis = lax.cummax(jnp.where(m0, idx, -1), axis=m0.ndim - 1)
-    last_opq = lax.cummax(jnp.where(~trans, idx, -1), axis=m0.ndim - 1)
-    chain = last_vis > last_opq  # at i: some visible k <= i with clear path to i+1
-    shifted = jnp.concatenate([jnp.zeros_like(chain[..., :1]), chain[..., :-1]], -1)
-    return m0 | shifted
-
-
-def _flood_left(m0: jnp.ndarray, trans: jnp.ndarray) -> jnp.ndarray:
-    return _flood_right(m0[..., ::-1], trans[..., ::-1])[..., ::-1]
-
-
-def _shift_up(x):  # up[i+1] |= x[i]
-    return jnp.concatenate([jnp.zeros_like(x[..., :1]), x[..., :-1]], -1)
-
-
-def _shift_down(x):  # up[i-1] |= x[i]
-    return jnp.concatenate([x[..., 1:], jnp.zeros_like(x[..., :1])], -1)
+    # Canonical window: agent at (v//2, v-1) facing decreasing y.
+    x0 = rx - v // 2
+    y0 = ry - (v - 1)
+    xi = x0 + jnp.arange(v, dtype=jnp.int32)[:, None]  # [v, 1]
+    ohx = xi == jnp.arange(s, dtype=jnp.int32)[None, :]  # [v, S]
+    rows = jnp.max(jnp.where(ohx[:, :, None], rg[None, :, :], 0), axis=1)  # [v, S]
+    rows = jnp.where((xi >= 0) & (xi < s), rows, WALL_CELL)
+    yj = y0 + jnp.arange(v, dtype=jnp.int32)[None, :]  # [1, v]
+    ohy = yj[:, :, None] == jnp.arange(s, dtype=jnp.int32)[None, None, :]  # [1, v, S]
+    cells = jnp.max(jnp.where(ohy, rows[:, None, :], 0), axis=-1)  # [v, v]
+    return jnp.where((yj >= 0) & (yj < s), cells, WALL_CELL)
 
 
 def process_vis(trans: jnp.ndarray) -> jnp.ndarray:
@@ -107,32 +114,47 @@ def process_vis(trans: jnp.ndarray) -> jnp.ndarray:
     Exactly reproduces the reference's two-directional bottom-up sweep
     (reference: minigrid/core/grid.py:291-328): per row, light floods right
     then left through transparent cells, each lit transparent cell also
-    lighting its three upward neighbors.  Rows are processed bottom-to-top;
-    in-row chains use the closed-form cummax flood.
+    lighting its three upward neighbors.
+
+    BIT-PARALLEL formulation: each row's masks pack into one int32 scalar
+    per environment (bit i = column i), so under ``vmap`` every operation is
+    a full-lane [N] vector op instead of a lane-starved [N, v] op.  The
+    rightward transitive flood ``m[i+1] |= m[i] & t[i]`` has the closed
+    carry form ``m | (((m & t) + t) ^ t)`` (carries propagate through
+    transparent runs exactly like light); the leftward flood uses v-1
+    single-step spreads.  Exhaustively validated against the sequential
+    sweep.
 
     ``trans`` is indexed [i, j] = [column, row]; the agent cell
     (v//2, v-1) seeds the mask.
     """
     v = trans.shape[-1]
-    agent_row = jnp.zeros((v,), dtype=bool).at[v // 2].set(True)
+    full = (1 << v) - 1
+    weights = 1 << jnp.arange(v, dtype=jnp.int32)
+    row_t = [jnp.sum(jnp.where(trans[:, j], weights, 0)) for j in range(v)]
 
-    up = jnp.zeros((v,), dtype=bool)
+    def flood_right(m, t):
+        return m | ((((m & t) + t) & full) ^ t)
+
+    def flood_left(m, t):
+        for _ in range(v - 1):
+            m = m | ((m & t) >> 1)
+        return m
+
+    up = jnp.int32(1 << (v // 2))  # agent-row seed for j = v-1
     rows_out = [None] * v
-    m_init = agent_row
     for j in range(v - 1, -1, -1):
-        t = trans[:, j]
-        m0 = m_init if j == v - 1 else up
-        # right pass: i in [0, v-2]
-        m_r = _flood_right(m0, t)
-        cond_r = (m_r & t).at[v - 1].set(False)
-        new_up = cond_r | _shift_up(cond_r)
-        # left pass continues from the right-pass mask: i in [1, v-1]
-        m_l = _flood_left(m_r, t)
-        cond_l = (m_l & t).at[0].set(False)
-        new_up = new_up | cond_l | _shift_down(cond_l)
+        t = row_t[j]
+        m_r = flood_right(up, t)
+        cond_r = m_r & t & ((1 << (v - 1)) - 1)
+        new_up = cond_r | ((cond_r << 1) & full)
+        m_l = flood_left(m_r, t)
+        cond_l = m_l & t & ~1
         rows_out[j] = m_l
-        up = new_up
-    return jnp.stack(rows_out, axis=1)  # [i, j]
+        up = new_up | cond_l | (cond_l >> 1)
+    bits = jnp.stack(rows_out)  # [v] (indexed by row j)
+    out = (bits[None, :] >> jnp.arange(v, dtype=jnp.int32)[:, None]) & 1
+    return out.astype(bool)  # [i, j]
 
 
 def view_and_vis(state, view_size: int, see_through_walls: bool):

@@ -38,6 +38,15 @@ from minigrid_tpu.envs.babyai.core.text import encode_babyai_mission, babyai_mis
 from minigrid_tpu.envs.unlock import RoomGridEnvBase
 
 
+def _rev32(x):
+    """Bitwise reversal of uint32 words (5 masked swaps)."""
+    x = ((x & jnp.uint32(0x55555555)) << 1) | ((x >> 1) & jnp.uint32(0x55555555))
+    x = ((x & jnp.uint32(0x33333333)) << 2) | ((x >> 2) & jnp.uint32(0x33333333))
+    x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | ((x >> 4) & jnp.uint32(0x0F0F0F0F))
+    x = ((x & jnp.uint32(0x00FF00FF)) << 8) | ((x >> 8) & jnp.uint32(0x00FF00FF))
+    return (x << 16) | (x >> 16)
+
+
 def _dilate4(m):
     p = jnp.pad(m, 1)
     return p[2:, 1:-1] | p[:-2, 1:-1] | p[1:-1, 2:] | p[1:-1, :-2]
@@ -126,22 +135,60 @@ class RoomGridLevel(RoomGridEnvBase):
 
     def check_objs_reachable(self, s: RoomGridState) -> jnp.ndarray:
         """All objects reachable without moving anything
-        (reference roomgrid_level.py:249-301)."""
+        (reference roomgrid_level.py:249-301).
+
+        Bit-packed flood fill: each grid row is one uint32 word (bit x =
+        column x), the rightward in-row spread is the closed carry form
+        ``m | (((m & open) + open) ^ open)`` (leftward via bit reversal),
+        vertical spread is one shifted OR — a convergence-checked while_loop
+        over full-lane [H]-word ops instead of (W*H)/2 whole-grid dilations.
+        Exhaustively validated against the dilation BFS."""
         grid = s.grid
         w, h = grid.shape[:2]
         t = cell_type(grid)
-        passable = (t == OBJ_EMPTY) | (t == OBJ_DOOR)
-        xs = jnp.arange(w)[:, None]
-        ys = jnp.arange(h)[None, :]
-        start = (xs == s.agent_pos[0]) & (ys == s.agent_pos[1])
+        if w > 31:  # word path needs one bit per column
+            passable = (t == OBJ_EMPTY) | (t == OBJ_DOOR)
+            xs = jnp.arange(w)[:, None]
+            ys = jnp.arange(h)[None, :]
+            start = (xs == s.agent_pos[0]) & (ys == s.agent_pos[1])
 
-        def body(_, reach):
-            frontier = reach & (passable | start)
-            return reach | _dilate4(frontier)
+            def body(_, reach):
+                frontier = reach & (passable | start)
+                return reach | _dilate4(frontier)
 
-        reach = jax.lax.fori_loop(0, (w * h) // 2 + 2, body, start)
+            reach = jax.lax.fori_loop(0, (w * h) // 2 + 2, body, start)
+            objects = (t != OBJ_EMPTY) & (t != OBJ_WALL)
+            return (~objects | reach).all()
+
+        open_ = (t == OBJ_EMPTY) | (t == OBJ_DOOR)
+        weights = jnp.uint32(1) << jnp.arange(w, dtype=jnp.uint32)
+        ow = jnp.sum(jnp.where(open_, weights[:, None], jnp.uint32(0)), axis=0)
+        owr = _rev32(ow) >> (32 - w)
+        full = jnp.uint32((1 << w) - 1)
+        seed = jnp.where(
+            jnp.arange(h) == s.agent_pos[1],
+            jnp.uint32(1) << s.agent_pos[0].astype(jnp.uint32),
+            jnp.uint32(0),
+        )
+
+        def flood_r(m, tw):
+            return m | ((((m & tw) + tw) & full) ^ tw)
+
+        def body(carry):
+            m, _ = carry
+            m2 = flood_r(m, ow)
+            mrev = _rev32(m2) >> (32 - w)
+            m2 = m2 | (_rev32(flood_r(mrev, owr)) >> (32 - w))
+            mo = m2 & ow
+            up = jnp.concatenate([mo[1:], jnp.zeros((1,), jnp.uint32)])
+            dn = jnp.concatenate([jnp.zeros((1,), jnp.uint32), mo[:-1]])
+            m3 = m2 | up | dn
+            return m3, (m3 != m).any()
+
+        m, _ = jax.lax.while_loop(lambda c: c[1], body, (seed, jnp.asarray(True)))
         objects = (t != OBJ_EMPTY) & (t != OBJ_WALL)
-        return (~objects | reach).all()
+        obj_w = jnp.sum(jnp.where(objects, weights[:, None], jnp.uint32(0)), axis=0)
+        return (obj_w & ~m).sum() == 0
 
     # -- generation with rejection resampling ----------------------------------
     def _generate(self, key: jax.Array) -> EnvState:

@@ -33,6 +33,11 @@ def _dyn_randint(key: jax.Array, lo, hi) -> jnp.ndarray:
 class CrossingEnv(MiniGridEnv):
     """Reference: minigrid/envs/crossing.py:122-184."""
 
+    # Level generation (placement rejection loops / river-path sampling)
+    # costs multiples of a step; batched rollouts amortize it through the
+    # per-chunk reset cache (minigrid_tpu/parallel/vector.py).
+    expensive_reset = True
+
     def __init__(
         self,
         size: int = 9,

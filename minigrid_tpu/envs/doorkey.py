@@ -27,6 +27,11 @@ class DoorKeyEnv(MiniGridEnv):
     """Room split by a vertical wall with a locked yellow door; the key is on
     the agent's side (reference: minigrid/envs/doorkey.py:75-100)."""
 
+    # Level generation (placement rejection loops / river-path sampling)
+    # costs multiples of a step; batched rollouts amortize it through the
+    # per-chunk reset cache (minigrid_tpu/parallel/vector.py).
+    expensive_reset = True
+
     def __init__(self, size: int = 8, max_steps: int | None = None, **kwargs):
         if max_steps is None:
             max_steps = 10 * size**2

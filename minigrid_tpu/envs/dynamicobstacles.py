@@ -42,6 +42,11 @@ class DynamicObstaclesEnv(MiniGridEnv):
     neighbor stays put, mirroring the swallowed placement failure).
     """
 
+    # Level generation (placement rejection loops / river-path sampling)
+    # costs multiples of a step; batched rollouts amortize it through the
+    # per-chunk reset cache (minigrid_tpu/parallel/vector.py).
+    expensive_reset = True
+
     def __init__(
         self,
         size: int = 8,

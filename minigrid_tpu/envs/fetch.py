@@ -25,6 +25,11 @@ class FetchEnv(MiniGridEnv):
     reward, picking up anything else ends it with 0
     (reference: minigrid/envs/fetch.py:108-176)."""
 
+    # Level generation (placement rejection loops / river-path sampling)
+    # costs multiples of a step; batched rollouts amortize it through the
+    # per-chunk reset cache (minigrid_tpu/parallel/vector.py).
+    expensive_reset = True
+
     def __init__(self, size: int = 8, numObjs: int = 3, max_steps: int | None = None, **kwargs):
         if max_steps is None:
             max_steps = 5 * size**2

@@ -21,6 +21,11 @@ class GoToDoorEnv(MiniGridEnv):
     perform `done` next to the target door
     (reference: minigrid/envs/gotodoor.py:91-149)."""
 
+    # Level generation (placement rejection loops / river-path sampling)
+    # costs multiples of a step; batched rollouts amortize it through the
+    # per-chunk reset cache (minigrid_tpu/parallel/vector.py).
+    expensive_reset = True
+
     def __init__(self, size: int = 5, max_steps: int | None = None, **kwargs):
         assert size >= 5
         if max_steps is None:

@@ -33,6 +33,11 @@ class LockedRoomEnv(MiniGridEnv):
     locked and holds the goal, its key lies in another room
     (reference: minigrid/envs/lockedroom.py:95-174)."""
 
+    # Level generation (placement rejection loops / river-path sampling)
+    # costs multiples of a step; batched rollouts amortize it through the
+    # per-chunk reset cache (minigrid_tpu/parallel/vector.py).
+    expensive_reset = True
+
     def __init__(self, size: int = 19, max_steps: int | None = None, **kwargs):
         if max_steps is None:
             max_steps = 10 * size

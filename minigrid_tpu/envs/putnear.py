@@ -24,6 +24,11 @@ class PutNearEnv(MiniGridEnv):
     move object and drop it next to the target
     (reference: minigrid/envs/putnear.py:103-200)."""
 
+    # Level generation (placement rejection loops / river-path sampling)
+    # costs multiples of a step; batched rollouts amortize it through the
+    # per-chunk reset cache (minigrid_tpu/parallel/vector.py).
+    expensive_reset = True
+
     def __init__(self, size: int = 6, numObjs: int = 2, max_steps: int | None = None, **kwargs):
         if max_steps is None:
             max_steps = 5 * size
