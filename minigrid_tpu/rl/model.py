@@ -38,6 +38,9 @@ def embed_obs(image: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
         ).reshape(lead + (v2 * _PER_CELL,))
 
     o = jnp.arange(v2 * _PER_CELL, dtype=jnp.int32) % _PER_CELL
+    # bf16 from the start: the feature tensor is the activation-bandwidth
+    # hot spot (986 floats/sample); materializing it in f32 doubles HBM
+    # traffic for zero benefit (values are exactly 0/1).
     feats = jnp.where(
         o < NUM_OBJECTS,
         rep(t) == o,
@@ -46,11 +49,11 @@ def embed_obs(image: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
             rep(c) == o - NUM_OBJECTS,
             rep(jnp.clip(s, 0, 2)) == o - NUM_OBJECTS - NUM_COLORS,
         ),
-    ).astype(jnp.float32)
+    ).astype(jnp.bfloat16)
     dir_oh = (
         jnp.asarray(direction, jnp.int32)[..., None]
         == jnp.arange(4, dtype=jnp.int32)
-    ).astype(jnp.float32)
+    ).astype(jnp.bfloat16)
     return jnp.concatenate([feats, dir_oh], axis=-1)
 
 

@@ -84,9 +84,16 @@ def make_ppo(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
             obs = jax.vmap(env.observation)(env_states)
             logits, value = policy_apply(params, obs["image"], obs["direction"])
             action = jax.random.categorical(k_act, logits)
-            logp = jax.nn.log_softmax(logits)[
-                jnp.arange(action.shape[0]), action
-            ]
+            # One-hot contraction instead of a [N]-row gather (tiny-row
+            # gathers are ~5x slower than a fused masked reduce on TPU).
+            logp = jnp.sum(
+                jnp.where(
+                    action[:, None] == jnp.arange(logits.shape[-1]),
+                    jax.nn.log_softmax(logits),
+                    0.0,
+                ),
+                axis=-1,
+            )
             if env.expensive_reset:
                 _, env_states, reward, terminated, truncated, used = step_cached(
                     env_states, action, cache, used
@@ -128,7 +135,12 @@ def make_ppo(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
         image, direction, action, old_logp, adv, target = batch
         logits, value = policy_apply(params, image, direction)
         logp_all = jax.nn.log_softmax(logits)
-        logp = jnp.take_along_axis(logp_all, action[..., None], axis=-1)[..., 0]
+        logp = jnp.sum(
+            jnp.where(
+                action[..., None] == jnp.arange(logits.shape[-1]), logp_all, 0.0
+            ),
+            axis=-1,
+        )
         ratio = jnp.exp(logp - old_logp)
         adv_n = (adv - adv.mean()) / (adv.std() + 1e-8)
         pg = -jnp.minimum(
@@ -147,34 +159,35 @@ def make_ppo(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
         _, last_value = policy_apply(state.params, last_obs["image"], last_obs["direction"])
         adv = gae(value, reward, done, last_value)
         target = adv + value
-        # Flatten time x env into one batch.
-        flat = jax.tree.map(
-            lambda x: x.reshape((-1,) + x.shape[2:]),
-            (image, direction, action, logp, adv, target),
-        )
-        batch_size = flat[0].shape[0]
-        assert batch_size % config.num_minibatches == 0
-        mb = batch_size // config.num_minibatches
+        # Minibatches are CONTIGUOUS env slices of the time-major trajectory:
+        # env indices carry no information (independent episodes), so each
+        # slice is already an iid sample of complete trajectories, and
+        # slicing [T, b*mbe:(b+1)*mbe, ...] costs nothing — no sample
+        # permutation (a 1M tiny-row gather) and no [T, N] -> [N, T]
+        # transpose (uint8 tile realignment, 100s of ms at 32k envs).
+        data = (image, direction, action, logp, adv, target)
+        num_envs = image.shape[1]
+        assert num_envs % config.num_minibatches == 0
+        mb_envs = num_envs // config.num_minibatches
 
         def run_epoch(carry, _):
             params, opt_state, key = carry
-            key, k_perm = jax.random.split(key)
-            perm = jax.random.permutation(k_perm, batch_size)
-            shuffled = jax.tree.map(lambda x: x[perm], flat)
-            minibatches = jax.tree.map(
-                lambda x: x.reshape((config.num_minibatches, mb) + x.shape[1:]),
-                shuffled,
-            )
 
-            def run_mb(carry, batch):
+            def run_mb(carry, b):
                 params, opt_state = carry
+                batch = jax.tree.map(
+                    lambda x: jax.lax.dynamic_slice_in_dim(
+                        x, b * mb_envs, mb_envs, axis=1
+                    ).reshape((-1,) + x.shape[2:]),
+                    data,
+                )
                 grads, aux = jax.grad(loss_fn, has_aux=True)(params, batch)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), aux
 
             (params, opt_state), auxes = jax.lax.scan(
-                run_mb, (params, opt_state), minibatches
+                run_mb, (params, opt_state), jnp.arange(config.num_minibatches)
             )
             return (params, opt_state, key), auxes
 
