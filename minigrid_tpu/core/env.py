@@ -123,6 +123,14 @@ class MiniGridEnv:
         axis R) for amortized auto-reset inside a rollout chunk."""
         return jax.vmap(self._generate)(jax.random.split(key, num_resets))
 
+    def batch_reset_cache(self, key: jax.Array, num_envs: int, num_resets: int):
+        """[num_envs, num_resets] cache of fresh episodes.  Families with
+        attempt-level rejection sampling override this with a pooled
+        generator (see babyai RoomGridLevel.batch_reset_cache)."""
+        return jax.vmap(self.reset_cache, in_axes=(0, None))(
+            jax.random.split(key, num_envs), num_resets
+        )
+
     def step_cached(self, state: EnvState, action, cache: EnvState, used):
         """Transition with auto-reset drawn from a pre-generated cache.
 

@@ -213,8 +213,11 @@ class RoomGridLevel(RoomGridEnvBase):
         s, instr, _, kl, _ = jax.lax.while_loop(
             cond, body, (s0, i0, v0, kl, jnp.int32(0))
         )
+        return self._finish_level(s, instr, jax.random.fold_in(kl, 7))
 
-        # Dynamic step limit (reference roomgrid_level.py:76-83).
+    def _finish_level(self, s: RoomGridState, instr: InstrState, rng) -> EnvState:
+        """Assemble the episode state from an accepted attempt: dynamic step
+        limit (reference roomgrid_level.py:76-83) + mission encoding."""
         if self.fixed_max_steps:
             max_steps = jnp.int32(self.max_steps)
         else:
@@ -228,10 +231,43 @@ class RoomGridLevel(RoomGridEnvBase):
             grid=s.grid,
             agent_pos=s.agent_pos,
             agent_dir=s.agent_dir,
-            rng=jax.random.fold_in(kl, 7),
+            rng=rng,
             max_steps=max_steps,
             mission=mission,
             extra={"instr": instr},
+        )
+
+    def batch_reset_cache(self, key: jax.Array, num_envs: int, num_resets: int):
+        """Pooled level generation for the amortized reset cache.
+
+        The per-env generator pays the batched rejection-resampling tail:
+        under ``vmap`` the retry while_loop iterates until EVERY env has a
+        valid level, so all lanes pay ~E[max of N geometrics] attempts.
+        Here one shared pool of 2x-over-provisioned SINGLE attempts is drawn
+        (attempts are iid, so keeping the valid ones preserves exactly the
+        rejection-sampled level distribution) and compacted into the cache;
+        under-provision wraps around to reuse valid levels (probability
+        ~exp(-N) at 2x for ~50%-validity families).
+        """
+        total = num_envs * num_resets
+        pool = 2 * total
+        k_pool, k_fin = jax.random.split(key)
+
+        def attempt(k):
+            s, instr, valid = self.gen_attempt(k)
+            valid &= self._validate(s, instr)
+            return s, instr, valid
+
+        s, instr, valid = jax.vmap(attempt)(jax.random.split(k_pool, pool))
+        order = jnp.argsort(~valid)  # stable: valid attempts first
+        nvalid = jnp.maximum(valid.sum(), 1)
+        idx = order[jnp.arange(total) % nvalid]
+        s, instr = jax.tree.map(lambda a: a[idx], (s, instr))
+        states = jax.vmap(self._finish_level)(
+            s, instr, jax.random.split(k_fin, total)
+        )
+        return jax.tree.map(
+            lambda a: a.reshape((num_envs, num_resets) + a.shape[1:]), states
         )
 
     # -- verifier hook -----------------------------------------------------------

@@ -47,9 +47,7 @@ def rollout_random(env, states, key: jax.Array, num_steps: int, resets_per_chunk
 
     if env.expensive_reset:
         key, k_cache = jax.random.split(key)
-        cache = jax.vmap(env.reset_cache, in_axes=(0, None))(
-            jax.random.split(k_cache, num_envs), resets_per_chunk
-        )
+        cache = env.batch_reset_cache(k_cache, num_envs, resets_per_chunk)
         step_batch = jax.vmap(env.step_cached)
 
         def body(carry, _):

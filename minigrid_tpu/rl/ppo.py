@@ -73,8 +73,8 @@ def make_ppo(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
             # Per-chunk reset cache: level generation amortized over the
             # rollout instead of fused into every step (core/env.py).
             key, k_cache = jax.random.split(key)
-            cache = jax.vmap(env.reset_cache, in_axes=(0, None))(
-                jax.random.split(k_cache, num_envs), config.resets_per_chunk
+            cache = env.batch_reset_cache(
+                k_cache, num_envs, config.resets_per_chunk
             )
             step_cached = jax.vmap(env.step_cached)
 
