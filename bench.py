@@ -89,6 +89,21 @@ def main():
         dk_best = min(dk_best, time.perf_counter() - t0)
     dk_sps = NUM_ENVS * NUM_STEPS / dk_best
 
+    # Third tracked config: BabyAI-GoToLocal (language missions, pooled
+    # reset-cache generation), 16384 envs.
+    bl = mg.make("BabyAI-GoToLocal-v0")
+    n_bl = 16384
+    _, bl_states = jax.jit(jax.vmap(bl.reset))(jax.random.split(k_reset, n_bl))
+    out = rollout_random(bl, bl_states, k_roll, NUM_STEPS)
+    jax.block_until_ready(out)
+    bl_best = float("inf")
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = rollout_random(bl, bl_states, jax.random.fold_in(k_roll, 300 + i), NUM_STEPS)
+        jax.block_until_ready(out)
+        bl_best = min(bl_best, time.perf_counter() - t0)
+    bl_sps = n_bl * NUM_STEPS / bl_best
+
     print(
         json.dumps(
             {
@@ -98,6 +113,7 @@ def main():
                 "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 4),
                 "obs_consumed_steps_per_sec": round(obs_sps),
                 "doorkey8x8_steps_per_sec": round(dk_sps),
+                "babyai_gotolocal_steps_per_sec": round(bl_sps),
             }
         )
     )
