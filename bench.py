@@ -1,15 +1,24 @@
-"""Throughput benchmark: batched random-policy env-steps/s on Empty-8x8.
+"""Throughput benchmark: batched random-policy env-steps/s.
 
 Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
-Baseline: 50M env-steps/s per host on Empty-8x8 (BASELINE.md north star; the
-reference publishes no numbers of its own).
+Headline metric: Empty-8x8 steps/s vs the 50M/host north star (BASELINE.md;
+the reference publishes no numbers of its own).  Also tracked, per
+BASELINE.md's driver-specified config list: Empty-5x5, Empty-Random-5x5,
+FourRooms, DoorKey-8x8, LavaCrossingS9N2, Dynamic-Obstacles-8x8,
+BabyAI-GoToLocal, ObstructedMaze-2Dlh, an observation-consuming rollout
+(the PPO-shaped load), and the virtual-mesh scaling efficiency
+(tools/perf_scaling.py, run in a CPU subprocess so it cannot disturb the
+TPU timings).
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -23,6 +32,49 @@ NUM_STEPS = 256
 WARMUP_ITERS = 2
 MEASURE_ITERS = 5
 BASELINE_STEPS_PER_SEC = 50e6
+
+# (json key, env id, num_envs) — every BASELINE.md:27-29 config.
+TRACKED = (
+    ("empty5x5_steps_per_sec", "MiniGrid-Empty-5x5-v0", 65536),
+    ("empty_random5x5_steps_per_sec", "MiniGrid-Empty-Random-5x5-v0", 65536),
+    ("fourrooms_steps_per_sec", "MiniGrid-FourRooms-v0", 65536),
+    ("doorkey8x8_steps_per_sec", "MiniGrid-DoorKey-8x8-v0", 65536),
+    ("lavacrossing_s9n2_steps_per_sec", "MiniGrid-LavaCrossingS9N2-v0", 65536),
+    ("dynamic_obstacles8x8_steps_per_sec", "MiniGrid-Dynamic-Obstacles-8x8-v0", 65536),
+    ("babyai_gotolocal_steps_per_sec", "BabyAI-GoToLocal-v0", 16384),
+    ("obstructed_maze_2dlh_steps_per_sec", "MiniGrid-ObstructedMaze-2Dlh-v0", 8192),
+)
+
+
+def _rollout_sps(env, num_envs, key, reps=3):
+    k_reset, k_roll = jax.random.split(key)
+    _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k_reset, num_envs))
+    out = rollout_random(env, states, k_roll, NUM_STEPS)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for i in range(reps):
+        t0 = time.perf_counter()
+        out = rollout_random(env, states, jax.random.fold_in(k_roll, 100 + i), NUM_STEPS)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return num_envs * NUM_STEPS / best
+
+
+def _scaling_efficiency():
+    """Virtual-mesh partitioning efficiency, measured in a CPU subprocess
+    (tools/perf_scaling.py) so jax state and TPU timings stay clean."""
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "perf_scaling.py")
+    env = dict(os.environ)
+    env.update({"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+                "SCALING_NUM_ENVS": "1024", "SCALING_NUM_STEPS": "32"})
+    try:
+        out = subprocess.run(
+            [sys.executable, script], env=env, capture_output=True, text=True,
+            timeout=1200,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
 
 
 def main():
@@ -47,8 +99,8 @@ def main():
     steps = NUM_ENVS * NUM_STEPS * MEASURE_ITERS
     sps = steps / dt
 
-    # Secondary: observation-consuming rollout (the PPO-training-shaped
-    # metric; obs generation cannot be dead-code-eliminated here).
+    # Observation-consuming rollout (the PPO-training-shaped metric; obs
+    # generation cannot be dead-code-eliminated here).
     obs_batch = jax.vmap(env.observation)
 
     @jax.jit
@@ -71,52 +123,33 @@ def main():
 
     states2, acc = rollout_with_obs(states, k_roll)
     jax.block_until_ready(acc)
-    t0 = time.perf_counter()
-    states2, acc = rollout_with_obs(states, jax.random.fold_in(k_roll, 999))
-    jax.block_until_ready(acc)
-    obs_sps = NUM_ENVS * NUM_STEPS / (time.perf_counter() - t0)
-
-    # Secondary tracked config: DoorKey-8x8 (BASELINE.md), amortized resets.
-    dk = mg.make("MiniGrid-DoorKey-8x8-v0")
-    _, dk_states = jax.jit(jax.vmap(dk.reset))(jax.random.split(k_reset, NUM_ENVS))
-    out = rollout_random(dk, dk_states, k_roll, NUM_STEPS)
-    jax.block_until_ready(out)
-    dk_best = float("inf")
+    obs_best = float("inf")
     for i in range(3):
         t0 = time.perf_counter()
-        out = rollout_random(dk, dk_states, jax.random.fold_in(k_roll, 200 + i), NUM_STEPS)
-        jax.block_until_ready(out)
-        dk_best = min(dk_best, time.perf_counter() - t0)
-    dk_sps = NUM_ENVS * NUM_STEPS / dk_best
+        states2, acc = rollout_with_obs(states, jax.random.fold_in(k_roll, 999 + i))
+        jax.block_until_ready(acc)
+        obs_best = min(obs_best, time.perf_counter() - t0)
+    obs_sps = NUM_ENVS * NUM_STEPS / obs_best
 
-    # Third tracked config: BabyAI-GoToLocal (language missions, pooled
-    # reset-cache generation), 16384 envs.
-    bl = mg.make("BabyAI-GoToLocal-v0")
-    n_bl = 16384
-    _, bl_states = jax.jit(jax.vmap(bl.reset))(jax.random.split(k_reset, n_bl))
-    out = rollout_random(bl, bl_states, k_roll, NUM_STEPS)
-    jax.block_until_ready(out)
-    bl_best = float("inf")
-    for i in range(3):
-        t0 = time.perf_counter()
-        out = rollout_random(bl, bl_states, jax.random.fold_in(k_roll, 300 + i), NUM_STEPS)
-        jax.block_until_ready(out)
-        bl_best = min(bl_best, time.perf_counter() - t0)
-    bl_sps = n_bl * NUM_STEPS / bl_best
+    result = {
+        "metric": "env_steps_per_sec_empty8x8_random_policy",
+        "value": round(sps),
+        "unit": "steps/s",
+        "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 4),
+        "obs_consumed_steps_per_sec": round(obs_sps),
+    }
 
-    print(
-        json.dumps(
-            {
-                "metric": "env_steps_per_sec_empty8x8_random_policy",
-                "value": round(sps),
-                "unit": "steps/s",
-                "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 4),
-                "obs_consumed_steps_per_sec": round(obs_sps),
-                "doorkey8x8_steps_per_sec": round(dk_sps),
-                "babyai_gotolocal_steps_per_sec": round(bl_sps),
-            }
-        )
-    )
+    for json_key, env_id, n in TRACKED:
+        e = mg.make(env_id)
+        result[json_key] = round(_rollout_sps(e, n, jax.random.fold_in(key, hash(env_id) % 2**31)))
+
+    scaling = _scaling_efficiency()
+    if scaling is not None:
+        result["scaling_efficiency"] = scaling["scaling_efficiency"]
+        result["scaling_curve_rollout"] = scaling["rollout"]
+        result["scaling_curve_ppo"] = scaling["ppo"]
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -15,9 +15,18 @@ verifier.py:49-566).  Here an instruction is a fixed-slot pytree:
   roomgrid_level.py:89-91), and ``carried`` flags a tracked object in hand.
 
 Statuses: 0 continue, 1 success, 2 failure.
+
+Done-actions mode (reference verifier.py:25, env flag ``BABYAI_DONE_ACTIONS``):
+when enabled, leaf ``verify`` swallows every status on non-``done`` actions and
+only records whether the action just satisfied the instruction
+(``lastStepMatch``, verifier.py:225-237); a ``done`` action then returns
+success/failure from that memory.  The flag is read from the environment when
+an instruction is created (``empty_instr``).
 """
 
 from __future__ import annotations
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +68,13 @@ S_FAILURE = 2
 LOC_LEFT, LOC_RIGHT, LOC_FRONT, LOC_BEHIND = 0, 1, 2, 3
 
 
+def use_done_actions() -> bool:
+    """Whether the verifier runs in done-actions mode (reference
+    verifier.py:25 reads ``BABYAI_DONE_ACTIONS`` at import; we read it at
+    instruction-creation time so tests can toggle it per env instance)."""
+    return bool(os.environ.get("BABYAI_DONE_ACTIONS", False))
+
+
 @struct.dataclass
 class InstrState:
     # -- static description (per episode) --
@@ -80,13 +96,18 @@ class InstrState:
     #    when the leaf's verify is *called*) --
     pre_none: jnp.ndarray  # bool[4]
     pre_move_tracked: jnp.ndarray  # bool[4]
+    # -- done-actions mode (reference verifier.py:25,219-237) --
+    done_mode: jnp.ndarray  # bool[]
+    last_match: jnp.ndarray  # bool[4] (per-leaf lastStepMatch)
     # -- combinator state --
     a_succ: jnp.ndarray  # bool[]
     b_succ: jnp.ndarray  # bool[]
     sub_succ: jnp.ndarray  # bool[4] (sticky per-leaf success inside And sides)
 
 
-def empty_instr(width: int, height: int) -> InstrState:
+def empty_instr(width: int, height: int, done_mode: bool | None = None) -> InstrState:
+    if done_mode is None:
+        done_mode = use_done_actions()
     return InstrState(
         top_kind=jnp.int32(TOP_ACTION),
         a_is_and=jnp.asarray(False),
@@ -103,6 +124,8 @@ def empty_instr(width: int, height: int) -> InstrState:
         carried=jnp.zeros((4, 2), bool),
         pre_none=jnp.ones((4,), bool),
         pre_move_tracked=jnp.zeros((4,), bool),
+        done_mode=jnp.asarray(bool(done_mode)),
+        last_match=jnp.zeros((4,), bool),
         a_succ=jnp.asarray(False),
         b_succ=jnp.asarray(False),
         sub_succ=jnp.zeros((4,), bool),
@@ -240,7 +263,13 @@ def _side_status(instr, leaf_status, side_is_and, i0, i1, side_succ_prior):
     """Status of one seq side (a leaf or an And of two leaves).
 
     For an And, leaf stickies gate which leaves are 'called'; failures are
-    swallowed (reference AndInstr.verify, verifier.py:552-566)."""
+    swallowed (reference AndInstr.verify, verifier.py:552-566).  NOTE the
+    reference has a done-actions branch failing the And when both sides fail
+    (verifier.py:554-556), but it is gated on ``action is env.actions.done``
+    — an *identity* comparison that is False whenever the action arrives as
+    an int/numpy scalar through the standard gym interface, i.e. dead code
+    on the supported call path.  We mirror the live (int-action) semantics:
+    an And never fails on a done action; only single-leaf seq sides do."""
     s0 = jnp.where(instr.sub_succ[i0], S_SUCCESS, leaf_status[i0])
     s1 = jnp.where(instr.sub_succ[i1], S_SUCCESS, leaf_status[i1])
     and_status = jnp.where(
@@ -288,7 +317,18 @@ def verify_step(instr: InstrState, prev_state, state, action):
 
     instr = instr.replace(gridm=gridm, carried=carried, poss=poss)
 
-    leaf_status = _leaf_statuses(instr, prev_state, state, action, fmask_prev)
+    raw_status = _leaf_statuses(instr, prev_state, state, action, fmask_prev)
+
+    # Done-actions mode (verifier.py:225-237): ActionInstr.verify swallows
+    # verify_action's result on non-done actions (returns None, recording
+    # lastStepMatch); a done action reports success/failure from that memory.
+    is_done_act = instr.done_mode & (a == Actions.done)
+    done_leaf = jnp.where(instr.last_match, S_SUCCESS, S_FAILURE)
+    leaf_status = jnp.where(
+        instr.done_mode,
+        jnp.where(is_done_act, done_leaf, S_CONTINUE),
+        raw_status,
+    )
 
     top = instr.top_kind
     # -- which leaves does the reference call this step? --
@@ -367,9 +407,15 @@ def verify_step(instr: InstrState, prev_state, state, action):
     # itself is sticky via a_succ/b_succ); calling is still gated identically.
 
     # Per-leaf memory updates where called (verifier.py:343-344, :411-412).
+    # In done-actions mode a done action never reaches verify_action
+    # (verifier.py:230-233), so neither preCarrying nor lastStepMatch moves.
+    mem_update = called & ~is_done_act
     carrying_now_none = carry_type(state.carrying) == 0
-    pre_none = jnp.where(called, carrying_now_none, instr.pre_none)
-    pre_move_tracked = jnp.where(called, instr.carried[:, 0], instr.pre_move_tracked)
+    pre_none = jnp.where(mem_update, carrying_now_none, instr.pre_none)
+    pre_move_tracked = jnp.where(mem_update, instr.carried[:, 0], instr.pre_move_tracked)
+    last_match = jnp.where(
+        instr.done_mode & mem_update, raw_status == S_SUCCESS, instr.last_match
+    )
 
     sub_succ = instr.sub_succ | (called & (leaf_status == S_SUCCESS))
     # Side successes latch ONLY when that side is actually being driven: the
@@ -384,6 +430,7 @@ def verify_step(instr: InstrState, prev_state, state, action):
     instr = instr.replace(
         pre_none=pre_none,
         pre_move_tracked=pre_move_tracked,
+        last_match=last_match,
         sub_succ=sub_succ,
         a_succ=a_succ,
         b_succ=b_succ,

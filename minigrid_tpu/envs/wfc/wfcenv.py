@@ -88,6 +88,9 @@ class WFCEnv(MiniGridEnv):
             jnp.zeros((inner, inner)),
             periodic=self.config.output_periodic,
             max_attempts=self.max_attempts,
+            loc_heuristic=self.config.loc_heuristic,
+            choice_heuristic=self.config.choice_heuristic,
+            backtracking=self.config.backtracking,
         )
         # Pattern anchor tile -> wall/empty (reference wfcenv.py:203-214).
         is_wall_pattern = jnp.asarray(t["top_left"] == t["wall_tile"])
@@ -118,3 +121,73 @@ class WFCEnv(MiniGridEnv):
 
     def mission_text(self, mission=None) -> str:
         return "traverse the maze to get to the goal"
+
+
+def make_log_stats():
+    """TSV stats logger mirroring the reference's make_log_stats
+    (control.py:44-60): first call writes a header line, every call appends
+    one tab-separated row."""
+    log_line = 0
+
+    def log_stats(stats: dict, filename: str) -> None:
+        nonlocal log_line
+        if stats:
+            log_line += 1
+            with open(filename, "a", encoding="utf_8") as logf:
+                if log_line < 2:
+                    print("\t".join(str(k) for k in stats), file=logf)
+                print("\t".join(str(v) for v in stats.values()), file=logf)
+
+    return log_stats
+
+
+def execute_wfc(
+    key,
+    config: WFCConfig,
+    output_size: tuple[int, int] = (25, 25),
+    max_attempts: int = 10,
+    log_filename: str | None = None,
+    log_stats_to_output=None,
+):
+    """Host-side solve orchestration with per-run stats, mirroring the
+    reference's execute_wfc (control.py:63-294): returns
+    (pattern_grid | None, stats).  The stats dict carries the input
+    parameters plus attempt/collapse/backtrack/contradiction counters and
+    the solve duration; pass ``log_stats_to_output=make_log_stats()`` (and a
+    filename) for the reference's TSV logging behavior."""
+    import time
+
+    t = build_tables(config)
+    stats: dict = {
+        "pattern": config.pattern,
+        "pattern_width": config.pattern_width,
+        "rotations": config.rotations,
+        "output_size": output_size,
+        "attempt_limit": max_attempts,
+        "output_periodic": config.output_periodic,
+        "input_periodic": config.input_periodic,
+        "location heuristic": config.loc_heuristic,
+        "choice heuristic": config.choice_heuristic,
+        "backtracking": config.backtracking,
+        "pattern count": int(t["patterns"].shape[0]),
+    }
+    t0 = time.perf_counter()
+    grid, ok, run_stats = wfc_solve(
+        key,
+        jnp.asarray(t["adj"]),
+        jnp.asarray(t["weights"]),
+        jnp.zeros(output_size),
+        periodic=config.output_periodic,
+        max_attempts=max_attempts,
+        loc_heuristic=config.loc_heuristic,
+        choice_heuristic=config.choice_heuristic,
+        backtracking=config.backtracking,
+        with_stats=True,
+    )
+    ok = bool(ok)
+    stats.update({k: int(v) for k, v in run_stats.items()})
+    stats["solve duration"] = time.perf_counter() - t0
+    stats["outcome"] = "success" if ok else "contradiction"
+    if log_stats_to_output is not None and log_filename is not None:
+        log_stats_to_output(stats, log_filename)
+    return (jax.device_get(grid) if ok else None), stats

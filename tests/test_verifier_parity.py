@@ -38,8 +38,8 @@ GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 FILES = sorted(glob.glob(os.path.join(GOLDEN_DIR, "verifier_*.npz")))
 
 
-def _build_instr(rec, grid, pos, direction, room_mask):
-    instr = empty_instr(grid.shape[0], grid.shape[1])
+def _build_instr(rec, grid, pos, direction, room_mask, done_mode=False):
+    instr = empty_instr(grid.shape[0], grid.shape[1], done_mode=done_mode)
     leaves = rec["leaves"]
     instr = set_top(
         instr,
@@ -69,7 +69,7 @@ def _build_instr(rec, grid, pos, direction, room_mask):
     return instr
 
 
-def _replay(rec):
+def _replay(rec, done_mode=False):
     grid = jnp.asarray(rec["grid"])  # uint8 [W, H, 3] -> packed by new_state
     state = new_state(
         grid=grid,
@@ -86,7 +86,8 @@ def _replay(rec):
         ai, aj = b.room_of_pos(state.agent_x, state.agent_y)
         room_mask = b.room_interior_mask(ai, aj)
     instr = _build_instr(
-        rec, state.grid, state.agent_pos, state.agent_dir, room_mask
+        rec, state.grid, state.agent_pos, state.agent_dir, room_mask,
+        done_mode=done_mode,
     )
 
     @jax.jit
@@ -114,9 +115,10 @@ def test_verifier_parity(path):
     with np.load(path) as z:
         data = {k: z[k] for k in z.files}
     n = int(data["num_eps"])
+    done_mode = bool(data.get("done_mode", False))
     for i in range(n):
         rec = {k[len(f"ep{i}_"):]: v for k, v in data.items() if k.startswith(f"ep{i}_")}
-        rewards, terms = _replay(rec)
+        rewards, terms = _replay(rec, done_mode=done_mode)
         np.testing.assert_array_equal(
             terms, rec["terminated"], err_msg=f"{path} ep{i}: terminated"
         )

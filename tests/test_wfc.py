@@ -58,6 +58,124 @@ def test_wfc_solve_checkerboard():
     assert (g[:, 1:] != g[:, :-1]).all()
 
 
+@pytest.mark.parametrize(
+    "loc", ["entropy", "anti-entropy", "random", "simple", "lexical", "spiral", "hilbert"]
+)
+def test_location_heuristics_solve_checkerboard(loc):
+    """Every reference location heuristic (solver.py:167-305) must drive the
+    checkerboard to a valid solution."""
+    adj = _checker_adj()
+    grid, ok = wfc_solve(
+        jax.random.PRNGKey(3),
+        adj,
+        jnp.ones((2,)),
+        jnp.zeros((5, 5)),
+        periodic=False,
+        loc_heuristic=loc,
+    )
+    assert bool(ok), loc
+    g = np.asarray(grid)
+    assert (g[1:, :] != g[:-1, :]).all() and (g[:, 1:] != g[:, :-1]).all()
+
+
+@pytest.mark.parametrize("choice", ["weighted", "random", "lexical", "rarest", "most-common"])
+def test_choice_heuristics_solve_checkerboard(choice):
+    """Every reference pattern heuristic (solver.py:316-406) must drive the
+    checkerboard to a valid solution (both patterns always legal per cell, so
+    even the unmasked rarest/most-common picks stay consistent)."""
+    adj = _checker_adj()
+    grid, ok = wfc_solve(
+        jax.random.PRNGKey(4),
+        adj,
+        jnp.ones((2,)),
+        jnp.zeros((5, 5)),
+        periodic=False,
+        choice_heuristic=choice,
+    )
+    assert bool(ok), choice
+    g = np.asarray(grid)
+    assert (g[1:, :] != g[:-1, :]).all() and (g[:, 1:] != g[:, :-1]).all()
+
+
+def test_unknown_heuristics_raise():
+    """WFCConfig fields must be honored or rejected, never silently ignored
+    (VERDICT round 1, weak #4)."""
+    adj = _checker_adj()
+    with pytest.raises(NotImplementedError):
+        wfc_solve(
+            jax.random.PRNGKey(0), adj, jnp.ones((2,)), jnp.zeros((4, 4)),
+            periodic=False, loc_heuristic="nope",
+        )
+    with pytest.raises(NotImplementedError):
+        wfc_solve(
+            jax.random.PRNGKey(0), adj, jnp.ones((2,)), jnp.zeros((4, 4)),
+            periodic=False, choice_heuristic="nope",
+        )
+
+
+def _trap_adj():
+    """Asymmetric two-pattern trap: up/down/right accept anything, but the
+    only legal LEFT neighbor of either pattern is 1.  Collapsing any cell
+    with a real right neighbor to pattern 0 empties that neighbor (its left
+    neighbor no longer contains 1) — a contradiction only a backtracking ban
+    can recover from.  Pattern 0 survives solely in the rightmost column
+    (border padding supports everything)."""
+    a = np.ones((4, 2, 2), bool)
+    a[3] = False  # left direction: di order is up, right, down, left
+    a[3, 0, 1] = a[3, 1, 1] = True
+    return jnp.asarray(a)
+
+
+def test_backtracking_recovers_from_contradiction():
+    """With weights forcing pattern 0 to be tried first everywhere, plain
+    solves contradict on every attempt while backtracking (reference Solver,
+    solver.py:37-112) bans the choice at the failing cell and recovers."""
+    adj = _trap_adj()
+    weights = jnp.asarray([1e8, 1.0])
+    key = jax.random.PRNGKey(5)
+    _, ok_plain, stats_plain = wfc_solve(
+        key, adj, weights, jnp.zeros((4, 4)), periodic=False,
+        max_attempts=4, with_stats=True,
+    )
+    assert not bool(ok_plain)
+    assert int(stats_plain["contradictions"]) >= 4
+    grid, ok_bt, stats_bt = wfc_solve(
+        key, adj, weights, jnp.zeros((4, 4)), periodic=False,
+        max_attempts=4, backtracking=True, with_stats=True,
+    )
+    assert bool(ok_bt)
+    assert int(stats_bt["backtracks"]) >= 1
+    g = np.asarray(grid)
+    # Pattern 0 is only legal where there is no real right neighbor.
+    assert (g[:-1, :] == 1).all()
+
+
+def test_execute_wfc_stats_and_logging(tmp_path):
+    """Host orchestration parity with control.py:63-294: stats dict with
+    input parameters + counters + outcome, and TSV logging via
+    make_log_stats (control.py:44-60)."""
+    from minigrid_tpu.envs.wfc.preprocess import WFC_PRESETS
+    from minigrid_tpu.envs.wfc.wfcenv import execute_wfc, make_log_stats
+
+    logf = str(tmp_path / "wfc_log.tsv")
+    grid, stats = execute_wfc(
+        jax.random.PRNGKey(0),
+        WFC_PRESETS["MazeSimple"],
+        output_size=(9, 9),
+        log_filename=logf,
+        log_stats_to_output=make_log_stats(),
+    )
+    assert stats["outcome"] == "success" and grid is not None
+    assert grid.shape == (9, 9)
+    for k in ("attempts", "collapses", "backtracks", "contradictions",
+              "location heuristic", "choice heuristic", "backtracking",
+              "pattern count", "solve duration"):
+        assert k in stats, k
+    lines = open(logf).read().strip().split("\n")
+    assert len(lines) == 2  # header + one row
+    assert len(lines[0].split("\t")) == len(lines[1].split("\t"))
+
+
 def test_preset_tables_shapes():
     t = preset_tables("MazeSimple")
     P = t["adj"].shape[1]

@@ -179,3 +179,48 @@ def test_stochastic_action_deterministic_at_prob_1():
     _, state = env.reset(jax.random.PRNGKey(0))
     _, state2, *_ = env.step(state, jnp.asarray(2))  # forward
     assert np.asarray(state2.agent_pos)[0] == 2
+
+
+def test_direction_obs_wrapper_arithmetic():
+    """DirectionObsWrapper reproduces the reference's quirky row-major slope
+    arithmetic (minigrid/wrappers.py:697-716): goal cell derived from the
+    flattened grid index as (idx // height, idx % width), slope =
+    (goal[1] - agent_y) / (goal[0] - agent_x)."""
+    from minigrid_tpu.wrappers import DirectionObsWrapper
+
+    env = mg.make("MiniGrid-Empty-5x5-v0")
+    w = DirectionObsWrapper(env, type="slope")
+    _, state = env.reset(jax.random.PRNGKey(0))
+    o = jax.jit(w.observation)(state)
+    # Empty-5x5: goal at (3, 3), agent at (1, 1) dir 0.  Reference flat index
+    # (y * w + x) = 18 -> goal = (18 // 5, 18 % 5) = (3, 3); slope =
+    # (3 - 1)/(3 - 1) = 1.0 (matches the reference doctest's 1.0).
+    assert np.isclose(float(o["goal_direction"]), 1.0)
+    wa = DirectionObsWrapper(env, type="angle")
+    oa = jax.jit(wa.observation)(state)
+    assert np.isclose(float(oa["goal_direction"]), np.arctan(1.0))
+
+
+def test_direction_obs_wrapper_tracks_moving_goal():
+    """DELIBERATE deviation from the reference (decided + pinned here): the
+    reference caches the FIRST episode's goal position forever
+    (minigrid/wrappers.py:694-706 `if not self.goal_position`), so after a
+    reset that moves the goal it reports directions to a stale cell.  The
+    functional wrapper recomputes from the live grid each observation —
+    identical output for every static-goal env the wrapper targets, correct
+    (rather than stale) output when the goal moves."""
+    from minigrid_tpu.core.constants import EMPTY_CELL, GOAL_CELL
+    from minigrid_tpu.core import grid as g
+    from minigrid_tpu.wrappers import DirectionObsWrapper
+
+    env = mg.make("MiniGrid-Empty-5x5-v0")
+    w = DirectionObsWrapper(env, type="slope")
+    _, state = env.reset(jax.random.PRNGKey(0))
+    # Move the goal from (3, 3) to (1, 3): flat idx 3*5+1 = 16, quirk-goal
+    # (16 // 5, 16 % 5) = (3, 1), slope = (1 - 1)/(3 - 1) = 0.0 (the cached
+    # reference would still report 1.0 toward the stale first-episode goal).
+    grid = g.set_cell(state.grid, 3, 3, EMPTY_CELL)
+    grid = g.set_cell(grid, 1, 3, GOAL_CELL)
+    moved = state.replace(grid=grid)
+    o = jax.jit(w.observation)(moved)
+    assert np.isclose(float(o["goal_direction"]), 0.0)

@@ -112,17 +112,10 @@ def serialize_instrs(instrs):
     )
 
 
-def main():
-    global OBJ_TO_IDX, COLOR_TO_IDX
+def gen_fixtures(env_ids, rng, out_prefix, action_choices, done_mode=False):
     import gymnasium as gym
-    import minigrid
-    from minigrid.core.constants import COLOR_TO_IDX as C2I, OBJECT_TO_IDX as O2I
 
-    OBJ_TO_IDX, COLOR_TO_IDX = O2I, C2I
-    minigrid.register_minigrid_envs()
-
-    rng = np.random.default_rng(7)
-    for env_id in ENV_IDS:
+    for env_id in env_ids:
         env = gym.make(env_id).unwrapped
         eps = []
         seed = 0
@@ -142,9 +135,7 @@ def main():
                 **serialize_instrs(u.instrs),
             )
             # Biased random actions: mostly movement, some interactions.
-            actions = rng.choice(
-                [0, 1, 2, 2, 2, 3, 4, 5], size=STEPS
-            ).astype(np.int32)
+            actions = rng.choice(action_choices, size=STEPS).astype(np.int32)
             rewards, terms = [], []
             for a in actions:
                 _, r, term, trunc, _ = u.step(int(a))
@@ -162,9 +153,40 @@ def main():
             for k, v in rec.items():
                 out[f"ep{i}_{k}"] = v
         out["num_eps"] = np.int32(len(eps))
-        path = os.path.join(OUT, f"verifier_{env_id}.npz")
+        out["done_mode"] = np.bool_(done_mode)
+        path = os.path.join(OUT, f"{out_prefix}{env_id}.npz")
         np.savez_compressed(path, **out)
         print("wrote", path, f"({len(eps)} episodes)")
+
+
+def main():
+    global OBJ_TO_IDX, COLOR_TO_IDX
+    import minigrid
+    from minigrid.core.constants import COLOR_TO_IDX as C2I, OBJECT_TO_IDX as O2I
+
+    OBJ_TO_IDX, COLOR_TO_IDX = O2I, C2I
+    minigrid.register_minigrid_envs()
+
+    gen_fixtures(ENV_IDS, np.random.default_rng(7), "verifier_", [0, 1, 2, 2, 2, 3, 4, 5])
+
+    # Done-actions mode (reference verifier.py:25): the flag is a module
+    # global looked up at call time, so setting it after import flips every
+    # ActionInstr.verify / AndInstr.verify into the done-action branch.
+    # Done actions are mixed into the policy so both the success path
+    # (lastStepMatch → done) and the failure path are exercised.
+    import minigrid.envs.babyai.core.verifier as ref_verifier
+
+    ref_verifier.use_done_actions = True
+    try:
+        gen_fixtures(
+            ENV_IDS,
+            np.random.default_rng(11),
+            "verifier_done_",
+            [0, 1, 2, 2, 2, 3, 4, 5, 6, 2, 2, 6],
+            done_mode=True,
+        )
+    finally:
+        ref_verifier.use_done_actions = False
 
 
 if __name__ == "__main__":
