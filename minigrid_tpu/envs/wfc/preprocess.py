@@ -124,14 +124,17 @@ def build_tables(config: WFCConfig):
     assert config.tile_size == 1
     k = config.pattern_width
 
+    # Pattern weight = number of orientation passes CONTAINING the pattern,
+    # not its occurrence count: the reference's pattern_frequency is a
+    # Counter over the per-pass UNIQUE pattern list (patterns.py:89-99,
+    # summed across passes in make_pattern_catalog_with_rotations:133-146),
+    # so within one pass every pattern contributes exactly 1.
     all_pats = []
     for g in _dihedral_grids(tile_grid, config.rotations):
-        all_pats.append(_extract_patterns(g, k))
-    stacked = np.concatenate(all_pats)  # [N, k, k]
-    flat = stacked.reshape(stacked.shape[0], -1)
-    patterns, inverse, counts = np.unique(
-        flat, axis=0, return_inverse=True, return_counts=True
-    )
+        pats_g = _extract_patterns(g, k)
+        all_pats.append(np.unique(pats_g.reshape(pats_g.shape[0], -1), axis=0))
+    stacked = np.concatenate(all_pats)  # [sum of per-pass uniques, k*k]
+    patterns, counts = np.unique(stacked, axis=0, return_counts=True)
     P = patterns.shape[0]
     pats = patterns.reshape(P, k, k).astype(np.int32)
 

@@ -19,7 +19,19 @@ def register(env_id: str, cls: Callable, **kwargs: Any) -> None:
 
 
 def make(env_id: str, **overrides: Any):
-    """Instantiate a registered environment, applying kwarg overrides."""
+    """Instantiate a registered environment, applying kwarg overrides.
+
+    Example:
+        >>> import jax
+        >>> import minigrid_tpu as mg
+        >>> env = mg.make("MiniGrid-DoorKey-5x5-v0")
+        >>> obs, state = env.reset(jax.random.PRNGKey(0))
+        >>> obs["image"].shape
+        (7, 7, 3)
+        >>> obs, state, reward, term, trunc = env.step(state, 2)  # forward
+        >>> float(reward)
+        0.0
+    """
     if env_id not in _REGISTRY:
         raise KeyError(
             f"unknown env id {env_id!r}; see minigrid_tpu.registry.registered_ids()"

@@ -78,7 +78,21 @@ class ActionBonus(_BonusWrapper):
 
 
 class PositionBonus(_BonusWrapper):
-    """+1/sqrt(N(pos)) (reference: minigrid/wrappers.py:128-187)."""
+    """+1/sqrt(N(pos)) (reference: minigrid/wrappers.py:128-187).
+
+    Example:
+        >>> import jax
+        >>> import minigrid_tpu as mg
+        >>> from minigrid_tpu.wrappers import PositionBonus
+        >>> env = PositionBonus(mg.make("MiniGrid-Empty-5x5-v0"))
+        >>> obs, state = env.reset(jax.random.PRNGKey(0))
+        >>> obs, state, reward, term, trunc = env.step(state, 6)  # done: stay put
+        >>> float(reward)  # first visit of the start cell: +1/sqrt(1)
+        1.0
+        >>> obs, state, reward, term, trunc = env.step(state, 6)
+        >>> round(float(reward), 4)  # second visit: +1/sqrt(2)
+        0.7071
+    """
 
     def _counts_shape(self):
         e = self.unwrapped
@@ -112,7 +126,19 @@ class StochasticActionWrapper(Wrapper):
 
 class NoDeath(Wrapper):
     """Convert deaths on the given cell types into a negative reward and
-    continue the episode (reference: minigrid/wrappers.py:797-870)."""
+    continue the episode (reference: minigrid/wrappers.py:797-870).
+
+    Example:
+        >>> import jax
+        >>> import minigrid_tpu as mg
+        >>> from minigrid_tpu.wrappers import NoDeath
+        >>> env = NoDeath(mg.make("MiniGrid-LavaGapS5-v0"), no_death_types=("lava",))
+        >>> obs, state = env.reset(jax.random.PRNGKey(0))
+        >>> for _ in range(3):  # walk into the lava gap column
+        ...     obs, state, reward, term, trunc = env.step(state, 2)
+        >>> bool(term)  # stepping into lava no longer terminates
+        False
+    """
 
     def __init__(self, env, no_death_types: tuple[str, ...], death_cost: float = -1.0):
         assert "goal" not in no_death_types
@@ -150,7 +176,20 @@ class NoDeath(Wrapper):
 class ReseedWrapper(Wrapper):
     """Deterministic evaluation: reset keys cycle a fixed seed list
     (reference: minigrid/wrappers.py:17-67).  The cycle index is host-side
-    Python state, mirroring the reference's mutable wrapper."""
+    Python state, mirroring the reference's mutable wrapper.
+
+    Example:
+        >>> import jax
+        >>> import numpy as np
+        >>> import minigrid_tpu as mg
+        >>> from minigrid_tpu.wrappers import ReseedWrapper
+        >>> env = ReseedWrapper(mg.make("MiniGrid-Empty-Random-5x5-v0"), seeds=[3, 5])
+        >>> _, s1 = env.reset()
+        >>> _, s2 = env.reset()
+        >>> _, s3 = env.reset()  # cycles back to seed 3
+        >>> bool(np.array_equal(np.asarray(s1.agent_pos), np.asarray(s3.agent_pos)))
+        True
+    """
 
     def __init__(self, env, seeds=(0,), seed_idx: int = 0):
         super().__init__(env)

@@ -29,7 +29,20 @@ from minigrid_tpu.wrappers.base import Wrapper
 
 
 class ImgObsWrapper(Wrapper):
-    """Image-only observation (reference: minigrid/wrappers.py:190-217)."""
+    """Image-only observation (reference: minigrid/wrappers.py:190-217).
+
+    Example:
+        >>> import jax
+        >>> import minigrid_tpu as mg
+        >>> from minigrid_tpu.wrappers import ImgObsWrapper
+        >>> env = mg.make("MiniGrid-Empty-5x5-v0")
+        >>> obs, _ = env.reset(jax.random.PRNGKey(0))
+        >>> sorted(obs.keys())
+        ['direction', 'image', 'mission']
+        >>> obs, _ = ImgObsWrapper(env).reset(jax.random.PRNGKey(0))
+        >>> obs.shape
+        (7, 7, 3)
+    """
 
     def observation(self, state):
         return self.env.observation(state)["image"]
@@ -37,7 +50,17 @@ class ImgObsWrapper(Wrapper):
 
 class OneHotPartialObsWrapper(Wrapper):
     """(v, v, 3) -> (v, v, 20) one-hot of type/color/state
-    (reference: minigrid/wrappers.py:220-287)."""
+    (reference: minigrid/wrappers.py:220-287).
+
+    Example:
+        >>> import jax
+        >>> import minigrid_tpu as mg
+        >>> from minigrid_tpu.wrappers import OneHotPartialObsWrapper
+        >>> env = OneHotPartialObsWrapper(mg.make("MiniGrid-Empty-5x5-v0"))
+        >>> obs, _ = env.reset(jax.random.PRNGKey(0))
+        >>> obs["image"].shape
+        (7, 7, 20)
+    """
 
     def observation(self, state):
         o = self.env.observation(state)
@@ -50,7 +73,17 @@ class OneHotPartialObsWrapper(Wrapper):
 
 class FullyObsWrapper(Wrapper):
     """Full symbolic grid; agent cell encoded as (agent, red, dir)
-    (reference: minigrid/wrappers.py:384-423)."""
+    (reference: minigrid/wrappers.py:384-423).
+
+    Example:
+        >>> import jax
+        >>> import minigrid_tpu as mg
+        >>> from minigrid_tpu.wrappers import FullyObsWrapper
+        >>> env = FullyObsWrapper(mg.make("MiniGrid-Empty-5x5-v0"))
+        >>> obs, _ = env.reset(jax.random.PRNGKey(0))
+        >>> obs["image"].shape
+        (5, 5, 3)
+    """
 
     def observation(self, state):
         from minigrid_tpu.core.constants import cell as pack_cell, unpack_grid
@@ -64,7 +97,19 @@ class FullyObsWrapper(Wrapper):
 
 class DictObservationSpaceWrapper(Wrapper):
     """Mission as fixed-vocabulary word indices
-    (reference: minigrid/wrappers.py:426-551)."""
+    (reference: minigrid/wrappers.py:426-551).
+
+    Example:
+        >>> import jax
+        >>> import minigrid_tpu as mg
+        >>> from minigrid_tpu.wrappers import DictObservationSpaceWrapper
+        >>> env = DictObservationSpaceWrapper(mg.make("MiniGrid-Empty-5x5-v0"))
+        >>> obs, _ = env.reset(jax.random.PRNGKey(0))
+        >>> obs["mission"].shape
+        (50,)
+        >>> int(obs["mission"].max()) > 0  # at least one real word token
+        True
+    """
 
     def __init__(self, env, max_words_in_mission: int = 50):
         super().__init__(env)
@@ -79,7 +124,17 @@ class DictObservationSpaceWrapper(Wrapper):
 
 class FlatObsWrapper(Wrapper):
     """Image + 28-char one-hot mission string flattened into one uint8 vector
-    (reference: minigrid/wrappers.py:554-621)."""
+    (reference: minigrid/wrappers.py:554-621).
+
+    Example:
+        >>> import jax
+        >>> import minigrid_tpu as mg
+        >>> from minigrid_tpu.wrappers import FlatObsWrapper
+        >>> env = FlatObsWrapper(mg.make("MiniGrid-Empty-5x5-v0"))
+        >>> obs, _ = env.reset(jax.random.PRNGKey(0))
+        >>> obs.shape  # 7*7*3 image + 96*28 mission chars
+        (2835,)
+    """
 
     NUM_CHAR_CODES = 28
 
@@ -141,7 +196,17 @@ class FlatObsWrapper(Wrapper):
 
 class ViewSizeWrapper(Wrapper):
     """Re-render the symbolic obs at a different view size
-    (reference: minigrid/wrappers.py:624-668)."""
+    (reference: minigrid/wrappers.py:624-668).
+
+    Example:
+        >>> import jax
+        >>> import minigrid_tpu as mg
+        >>> from minigrid_tpu.wrappers import ViewSizeWrapper
+        >>> env = ViewSizeWrapper(mg.make("MiniGrid-Empty-5x5-v0"), agent_view_size=5)
+        >>> obs, _ = env.reset(jax.random.PRNGKey(0))
+        >>> obs["image"].shape
+        (5, 5, 3)
+    """
 
     def __init__(self, env, agent_view_size: int = 7):
         super().__init__(env)
@@ -163,6 +228,15 @@ class DirectionObsWrapper(Wrapper):
     Deviation: the reference caches the goal position of the first episode
     forever; here it is recomputed per observation (identical for the
     static-goal envs this wrapper targets).
+
+    Example:
+        >>> import jax
+        >>> import minigrid_tpu as mg
+        >>> from minigrid_tpu.wrappers import DirectionObsWrapper
+        >>> env = DirectionObsWrapper(mg.make("MiniGrid-Empty-5x5-v0"), type="slope")
+        >>> obs, _ = env.reset(jax.random.PRNGKey(0))
+        >>> obs["goal_direction"].shape
+        ()
     """
 
     def __init__(self, env, type: str = "slope"):
@@ -188,7 +262,19 @@ class DirectionObsWrapper(Wrapper):
 
 class SymbolicObsWrapper(Wrapper):
     """(x, y, object-idx) per cell, empty = -1, agent cell = agent idx
-    (reference: minigrid/wrappers.py:724-770)."""
+    (reference: minigrid/wrappers.py:724-770).
+
+    Example:
+        >>> import jax
+        >>> import minigrid_tpu as mg
+        >>> from minigrid_tpu.wrappers import SymbolicObsWrapper
+        >>> env = SymbolicObsWrapper(mg.make("MiniGrid-Empty-5x5-v0"))
+        >>> obs, _ = env.reset(jax.random.PRNGKey(0))
+        >>> obs["image"].shape
+        (5, 5, 3)
+        >>> int(obs["image"][..., 2].min())
+        -1
+    """
 
     def observation(self, state):
         o = self.env.observation(state)

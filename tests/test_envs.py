@@ -108,23 +108,38 @@ def test_generate_deterministic_and_invariants(env_id):
 
 
 def _solvable(grid: np.ndarray, start: tuple[int, int]) -> bool:
-    """BFS reachability to a goal treating doors as passable (agent can
-    always unlock in DoorKey-style layouts) and lava/walls as blocking."""
+    """Key-aware BFS reachability to a goal: a locked door is only passable
+    once a key of the SAME COLOR is reachable (fixed point over unlock
+    waves), so a DoorKey layout whose key is walled off fails the check.
+    Lava and walls always block."""
     w, h = grid.shape[:2]
-    passable = np.isin(grid[..., 0], [OBJ_EMPTY, OBJ_FLOOR, OBJ_GOAL, OBJ_DOOR, OBJ_KEY, OBJ_BALL, OBJ_BOX])
-    seen = np.zeros((w, h), bool)
-    q = deque([start])
-    seen[start] = True
-    while q:
-        x, y = q.popleft()
-        if grid[x, y, 0] == OBJ_GOAL:
-            return True
-        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-            nx, ny = x + dx, y + dy
-            if 0 <= nx < w and 0 <= ny < h and not seen[nx, ny] and passable[nx, ny]:
-                seen[nx, ny] = True
-                q.append((nx, ny))
-    return False
+    base = np.isin(grid[..., 0], [OBJ_EMPTY, OBJ_FLOOR, OBJ_GOAL, OBJ_KEY, OBJ_BALL, OBJ_BOX])
+    is_door = grid[..., 0] == OBJ_DOOR
+    locked = is_door & (grid[..., 2] == 2)
+    have_keys: set[int] = set()
+    while True:
+        openable = np.zeros((w, h), bool)
+        for c in have_keys:
+            openable |= locked & (grid[..., 1] == c)
+        passable = base | (is_door & ~locked) | openable
+        seen = np.zeros((w, h), bool)
+        q = deque([start])
+        seen[start] = True
+        found_keys: set[int] = set()
+        while q:
+            x, y = q.popleft()
+            if grid[x, y, 0] == OBJ_GOAL:
+                return True
+            if grid[x, y, 0] == OBJ_KEY:
+                found_keys.add(int(grid[x, y, 1]))
+            for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                nx, ny = x + dx, y + dy
+                if 0 <= nx < w and 0 <= ny < h and not seen[nx, ny] and passable[nx, ny]:
+                    seen[nx, ny] = True
+                    q.append((nx, ny))
+        if found_keys <= have_keys:
+            return False
+        have_keys |= found_keys
 
 
 GOAL_ENVS = [i for i in ALL_IDS if any(
