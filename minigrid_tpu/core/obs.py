@@ -3,11 +3,11 @@
 The reference builds the agent view by slicing a sub-grid, rotating it
 ``agent_dir + 1`` times, flood-processing occlusion, then encoding
 (reference: minigrid/minigrid_env.py:597-650, minigrid/core/grid.py:110-143,
-:244-268, :291-328).  Here slice+rotate collapse into ONE direction-
-parameterized one-hot read of the packed grid, and the sequential occlusion
-sweep becomes a closed-form cummax flood — both fully vectorizable over the
-env batch (gathers are avoided: a TPU row-gather costs ~5x a fused one-hot
-reduce at rollout batch sizes, tools/perf_probe.py).
+:244-268, :291-328).  Here slice+rotate collapse into one separable pair of
+direction-parameterized one-hot reads of the packed grid, and the sequential
+occlusion sweep becomes a closed-form carry flood — both fully vectorizable
+over the env batch (gathers are avoided: a TPU row-gather costs ~5x a fused
+one-hot reduce at rollout batch sizes, tools/perf_probe.py).
 
 View coordinates: the agent sits at (v//2, v-1) facing "up" (decreasing j).
 For view cell (vi, vj) the world coordinate is
@@ -22,7 +22,6 @@ slice+rotate_left semantics by the golden tests.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from minigrid_tpu.core.constants import (
@@ -60,52 +59,50 @@ def extract_view(grid: jnp.ndarray, agent_x, agent_y, agent_dir, view_size: int)
     (minigrid/core/grid.py:136-141) composed with the rotations of
     ``gen_obs_grid`` (minigrid/minigrid_env.py:609-612).
 
-    Two-stage formulation: rotate the whole grid into the canonical
-    agent-faces-up frame (a 4-way select over transposes/flips — free
-    relayouts plus one select), then the window read becomes SEPARABLE: a
-    [v, S] row one-hot followed by a [v, S] column one-hot instead of one
-    [v*v, W*H] contraction — ~3x fewer VPU ops, measured 1.5x faster at
-    65536-env batches (tools/perf_interleave.py).
+    Direction-folded separable formulation: the window read is two one-hot
+    contractions (a [v, W] row selector then a [v, H] column selector)
+    whose INDICES carry the agent direction, so the grid is read exactly
+    once and never rotated.  (An earlier design rotated the grid into a
+    canonical agent-faces-up frame first; under vmap the traced-direction
+    switch lowers to a select over all four rotated copies — 4x grid
+    traffic per step.)
     """
     width, height = grid.shape[:2]
     v = view_size
-    if width != height:
-        # Square-pad with walls so the four rotation variants share a shape
-        # (padding reads as Wall, same as out-of-bounds).
-        s = max(width, height)
-        grid = jnp.pad(
-            grid,
-            ((0, s - width), (0, s - height)),
-            constant_values=WALL_CELL,
-        )
-    s = grid.shape[0]
     ax = jnp.asarray(agent_x, jnp.int32)
     ay = jnp.asarray(agent_y, jnp.int32)
+    d = jnp.asarray(agent_dir, jnp.int32)
 
-    g0 = grid  # dir 3 (north) — already facing up
-    g1 = grid[::-1, ::-1]  # dir 1 (south)
-    gt = grid.T
-    g2 = gt[:, ::-1]  # dir 0 (east)
-    g3 = gt[::-1, :]  # dir 2 (west)
-    rg = jax.lax.switch(agent_dir, [lambda: g2, lambda: g1, lambda: g3, lambda: g0])
-    rx = jax.lax.switch(
-        agent_dir, [lambda: ay, lambda: s - 1 - ax, lambda: s - 1 - ay, lambda: ax]
-    )
-    ry = jax.lax.switch(
-        agent_dir, [lambda: s - 1 - ax, lambda: s - 1 - ay, lambda: ax, lambda: ay]
-    )
+    # For every direction the window read is SEPARABLE without rotating the
+    # grid: one of (wx, wy) depends only on the view column vi and the other
+    # only on the view row vj (DIR_TO_VEC components are one-hot).  Fold the
+    # direction into the two one-hot selectors instead of materializing four
+    # rotated grid copies — under vmap a traced-direction lax.switch lowers
+    # to a select over ALL branches, so the rotation form costs 4x the grid
+    # traffic plus relayout transposes per step.
+    fx, fy = _DX[d], _DY[d]
+    rx, ry = -fy, fx  # right vector
+    k = jnp.arange(v, dtype=jnp.int32)
+    along = v - 1 - k  # distance ahead of the agent for view row k
+    across = k - v // 2  # offset right of the agent for view column k
+    horizontal = fx != 0  # facing east/west: wx varies with vj, wy with vi
+    xsel_idx = jnp.where(horizontal, ax + fx * along, ax + rx * across)
+    ysel_idx = jnp.where(horizontal, ay + ry * across, ay + fy * along)
+    ohx = xsel_idx[:, None] == jnp.arange(width, dtype=jnp.int32)[None, :]  # [v, W]
+    ohy = ysel_idx[:, None] == jnp.arange(height, dtype=jnp.int32)[None, :]  # [v, H]
 
-    # Canonical window: agent at (v//2, v-1) facing decreasing y.
-    x0 = rx - v // 2
-    y0 = ry - (v - 1)
-    xi = x0 + jnp.arange(v, dtype=jnp.int32)[:, None]  # [v, 1]
-    ohx = xi == jnp.arange(s, dtype=jnp.int32)[None, :]  # [v, S]
-    rows = jnp.max(jnp.where(ohx[:, :, None], rg[None, :, :], 0), axis=1)  # [v, S]
-    rows = jnp.where((xi >= 0) & (xi < s), rows, WALL_CELL)
-    yj = y0 + jnp.arange(v, dtype=jnp.int32)[None, :]  # [1, v]
-    ohy = yj[:, :, None] == jnp.arange(s, dtype=jnp.int32)[None, None, :]  # [1, v, S]
-    cells = jnp.max(jnp.where(ohy, rows[:, None, :], 0), axis=-1)  # [v, v]
-    return jnp.where((yj >= 0) & (yj < s), cells, WALL_CELL)
+    # rows[k, y] = grid[xsel_idx[k], y]; cells0[kx, ky] = grid[xsel[kx], ysel[ky]]
+    rows = jnp.max(jnp.where(ohx[:, :, None], grid[None, :, :], 0), axis=1)  # [v, H]
+    cells0 = jnp.max(jnp.where(ohy[None, :, :], rows[:, None, :], 0), axis=-1)  # [v, v]
+    x_ok = (xsel_idx >= 0) & (xsel_idx < width)
+    y_ok = (ysel_idx >= 0) & (ysel_idx < height)
+    cells0 = jnp.where(x_ok[:, None] & y_ok[None, :], cells0, WALL_CELL)
+
+    # Map selector-slot axes back to view axes: facing north/south the x
+    # selector runs over view columns (vi) and the y selector over view rows
+    # (vj) — cells0 is already [vi, vj]; facing east/west the roles swap —
+    # transpose the tiny [v, v] result instead of the whole grid.
+    return jnp.where(horizontal, cells0.T, cells0)
 
 
 def process_vis(trans: jnp.ndarray) -> jnp.ndarray:

@@ -76,6 +76,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", type=int, default=0, help="limit (0 = all)")
     ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--skip-existing", action="store_true")
     ap.add_argument(
         "--out",
         default=os.path.join(os.path.dirname(__file__), "..", "docs", "_static", "videos"),
@@ -88,6 +89,8 @@ def main():
         reps = reps[: args.families]
     for fam, env_id in reps:
         path = os.path.join(args.out, f"{fam}.gif")
+        if args.skip_existing and os.path.exists(path):
+            continue
         if record_gif(env_id, path, frames=args.frames):
             print(f"{fam:28s} <- {env_id}  ({os.path.getsize(path)//1024} KiB)")
 
