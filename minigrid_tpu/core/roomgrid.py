@@ -483,6 +483,23 @@ class RoomGridBuilder:
         ii = None if i is None else jnp.asarray(i, jnp.int32)
         jj = None if j is None else jnp.asarray(j, jnp.int32)
 
+        # Fast path: when every distractor draws from the SAME room (room
+        # given, or the grid has only one room) the n sequential uniform
+        # draws over the shrinking free set are exactly sampling without
+        # replacement — identical joint distribution in one Gumbel top-k,
+        # no n-step scan dependency chain in the generator graph.
+        if (ii is not None and jj is not None) or (
+            self.num_rows == 1 and self.num_cols == 1
+        ):
+            return self._add_distractors_fixed_room(
+                key,
+                s,
+                ii if ii is not None else jnp.int32(0),
+                jj if jj is not None else jnp.int32(0),
+                num_distractors,
+                all_unique,
+            )
+
         def place(s, k):
             kc, kk, kri, krj, kp = jax.random.split(k, 5)
             if all_unique:
@@ -504,3 +521,63 @@ class RoomGridBuilder:
             place, s, jax.random.split(key, num_distractors)
         )
         return s, kinds, colors, positions
+
+    def _add_distractors_fixed_room(
+        self, key: jax.Array, s: RoomGridState, i, j, n: int, all_unique: bool
+    ):
+        """Single-shot distractor placement for a fixed room.
+
+        Gumbel top-k over the free-cell mask yields the same joint
+        distribution as the reference's n sequential uniform draws
+        (minigrid/core/roomgrid.py:396-438 with place_in_room/add_object):
+        with equal logits, successive argmaxes of one Gumbel-perturbed field
+        ARE uniform draws without replacement, and the eligibility mask is
+        static across the n draws when the room is fixed (occupancy changes
+        are exactly the without-replacement exclusions).  Same for the
+        all_unique (kind, color) combos over the 18-entry table.
+        """
+        w, h = self.width, self.height
+        k_pos, k_combo, k_kind, k_color = jax.random.split(key, 4)
+        xs, ys = g.coord_grids(w, h)
+        near_agent = (
+            jnp.abs(xs - s.agent_pos[0]) + jnp.abs(ys - s.agent_pos[1])
+        ) < 2
+        m = (
+            g.free_mask(s.grid, s.agent_pos)
+            & self.room_interior_mask(i, j)
+            & ~near_agent
+        )
+        noise = jax.random.gumbel(k_pos, (w * h,))
+        scores = jnp.where(m.reshape(-1), noise, -jnp.inf)
+        _, flat_idx = jax.lax.top_k(scores, n)  # ordered like sequential draws
+        positions = jnp.stack([flat_idx // h, flat_idx % h], axis=-1).astype(jnp.int32)
+
+        if all_unique:
+            cnoise = jax.random.gumbel(k_combo, (s.combo_present.shape[0],))
+            cscores = jnp.where(s.combo_present, -jnp.inf, cnoise)
+            _, combos = jax.lax.top_k(cscores, n)
+            kinds = _COMBO_KIND[combos]
+            colors = _COMBO_COLOR[combos]
+        else:
+            kinds = KIND_TABLE[jax.random.randint(k_kind, (n,), 0, 3, dtype=jnp.int32)]
+            colors = jnp.asarray(SORTED_COLOR_IDX)[
+                jax.random.randint(k_color, (n,), 0, 6, dtype=jnp.int32)
+            ]
+
+        vals = cell(kinds, colors)  # int32[n] packed
+        onehot = flat_idx[:, None] == jnp.arange(w * h, dtype=jnp.int32)[None, :]
+        overlay = jnp.max(jnp.where(onehot, vals[:, None], 0), axis=0)
+        placed = onehot.any(axis=0)
+        grid = jnp.where(placed, overlay, s.grid.reshape(-1)).reshape(w, h)
+
+        kind_idx = jnp.where(kinds == OBJ_KEY, 0, jnp.where(kinds == OBJ_BALL, 1, 2))
+        sorted_pos = (
+            jnp.asarray(SORTED_COLOR_IDX)[None, :] == colors[:, None]
+        ).argmax(-1)
+        combo_present = s.combo_present.at[kind_idx * 6 + sorted_pos].set(True)
+        return (
+            s.replace(grid=grid, combo_present=combo_present),
+            kinds.astype(jnp.int32),
+            colors.astype(jnp.int32),
+            positions,
+        )

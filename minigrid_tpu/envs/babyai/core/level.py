@@ -58,6 +58,13 @@ class RoomGridLevel(RoomGridEnvBase):
     # Level-family flags (reference levels set these as attributes).
     unblocking = False
 
+    # Pool over-provision for batch_reset_cache: pool = factor * levels
+    # needed.  Families with high attempt-validity override this downward
+    # (measured rates: GoToLocal/GoToRedBall* ~0.84, PutNextLocal ~0.75,
+    # Synth ~0.91, GoTo/Pickup ~0.52) so generation work shrinks while the
+    # shortfall-wraparound probability stays negligible at >=2^14 pools.
+    pool_factor = 2.0
+
     def __init__(
         self,
         room_size: int = 8,
@@ -250,7 +257,7 @@ class RoomGridLevel(RoomGridEnvBase):
         ~exp(-N) at 2x for ~50%-validity families).
         """
         total = num_envs * num_resets
-        pool = 2 * total
+        pool = int(total * self.pool_factor)
         k_pool, k_fin = jax.random.split(key)
 
         def attempt(k):

@@ -42,6 +42,8 @@ class GoToRedBallGrey(RoomGridLevel):
     """Go to the red ball; all distractors are grey
     (reference goto.py:62-77)."""
 
+    pool_factor = 1.6  # attempt validity ~0.85
+
     def __init__(self, room_size: int = 8, num_dists: int = 7, **kwargs):
         self.num_dists = num_dists
         super().__init__(room_size=room_size, num_rows=1, num_cols=1, **kwargs)
@@ -69,6 +71,8 @@ class GoToRedBallGrey(RoomGridLevel):
 
 class GoToRedBall(RoomGridLevel):
     """Go to the red ball among colored distractors (reference goto.py:128-140)."""
+
+    pool_factor = 1.6  # attempt validity ~0.85
 
     def __init__(self, room_size: int = 8, num_dists: int = 7, **kwargs):
         self.num_dists = num_dists
@@ -113,6 +117,8 @@ class GoToObj(RoomGridLevel):
 
 class GoToLocal(RoomGridLevel):
     """Go to a named object in a single room (reference goto.py:262-337)."""
+
+    pool_factor = 1.6  # attempt validity ~0.84
 
     def __init__(self, room_size: int = 8, num_dists: int = 8, **kwargs):
         self.num_dists = num_dists

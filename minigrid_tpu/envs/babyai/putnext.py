@@ -34,6 +34,8 @@ class PutNextLocal(RoomGridLevel):
     """Put an object next to another in a single room
     (reference putnext.py:11-80)."""
 
+    pool_factor = 1.8  # attempt validity ~0.75
+
     def __init__(self, room_size: int = 8, num_objs: int = 8, **kwargs):
         self.num_objs = num_objs
         super().__init__(num_rows=1, num_cols=1, room_size=room_size, **kwargs)
