@@ -113,7 +113,9 @@ def main():
             )
             _, states, reward, term, trunc = jax.vmap(env.step)(states, actions)
             o = obs_batch(states)
-            acc = acc + o["image"][:, 0, 0, 0].astype(jnp.int32).sum()
+            # Consume EVERY obs element: a partial read would let XLA
+            # dead-code-eliminate part of the obs kernel.
+            acc = acc + o["image"].astype(jnp.int32).sum()
             return (states, key, acc), None
 
         (states, _, acc), _ = jax.lax.scan(

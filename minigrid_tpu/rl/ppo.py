@@ -35,6 +35,8 @@ class PPOConfig(NamedTuple):
     # activation memory at large env counts) and epochs over the rollout.
     num_minibatches: int = 8
     update_epochs: int = 1
+    # Linear LR anneal to 0 over this many train_step calls (None = constant).
+    lr_anneal_updates: int | None = None
 
 
 class TrainState(NamedTuple):
@@ -52,9 +54,19 @@ def make_ppo(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
     suitable for ``jax.jit(..., in_shardings=...)`` over a device mesh.
     """
     model = ActorCritic(hidden=hidden, num_actions=env.num_actions)
+    if config.lr_anneal_updates is None:
+        lr = config.learning_rate
+    else:
+        lr = optax.linear_schedule(
+            init_value=config.learning_rate,
+            end_value=0.0,
+            transition_steps=config.lr_anneal_updates
+            * config.num_minibatches
+            * config.update_epochs,
+        )
     tx = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
-        optax.adam(config.learning_rate),
+        optax.adam(lr, eps=1e-5),
     )
 
     def init_fn(key: jax.Array, num_envs: int) -> TrainState:
@@ -218,6 +230,30 @@ def make_ppo(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
         return TrainState(params, opt_state, env_states, key), metrics
 
     return init_fn, train_step
+
+
+def make_train(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
+    """Whole-training-run-in-one-jit convenience: returns
+    ``train(key, num_envs, num_updates) -> (TrainState, stacked metrics)``.
+
+    The update loop is a ``lax.scan`` over ``train_step`` — one compiled
+    program per (num_envs, num_updates) shape, zero host round-trips between
+    updates (dispatch overhead amortizes away; metrics come back stacked
+    [num_updates]).
+    """
+    init_fn, train_step = make_ppo(env, config, hidden=hidden)
+
+    @partial(jax.jit, static_argnums=(1, 2))
+    def train(key: jax.Array, num_envs: int, num_updates: int):
+        state = init_fn(key, num_envs)
+
+        def body(state, _):
+            state, metrics = train_step(state)
+            return state, metrics
+
+        return jax.lax.scan(body, state, None, length=num_updates)
+
+    return train
 
 
 @partial(jax.jit, static_argnums=(0,))
