@@ -187,7 +187,17 @@ def test_preset_tables_shapes():
 _CORPUS_PATH = __file__.rsplit("/", 1)[0] + "/golden/wfc_ref_corpus.npz"
 
 
-@pytest.mark.parametrize("preset", ["MazeSimple", "ObstaclesBlackdots", "RoomsFabric"])
+@pytest.mark.parametrize(
+    "preset",
+    [
+        "MazeSimple",
+        "ObstaclesBlackdots",
+        "RoomsFabric",
+        "DungeonMazeScaled",
+        "ObstaclesAngular",
+        "ObstaclesHogs3",
+    ],
+)
 def test_distribution_matches_reference(preset):
     """Distributional parity with levels generated by the ACTUAL reference
     solver (corpus from tools/gen_wfc_ref_corpus.py; reference:
@@ -202,6 +212,8 @@ def test_distribution_matches_reference(preset):
     if not os.path.exists(_CORPUS_PATH):
         pytest.skip("reference corpus not generated")
     d = np.load(_CORPUS_PATH)
+    if f"{preset}_walls" not in d:
+        pytest.skip(f"{preset} not in reference corpus")
     ref_walls = d[f"{preset}_walls"]  # [N, 23, 23] bool
     n = ref_walls.shape[0]
 

@@ -21,16 +21,31 @@ os.environ.setdefault("SDL_VIDEODRIVER", "dummy")
 
 from minigrid.envs.wfc import WFCEnv  # noqa: E402
 
-PRESETS = ["MazeSimple", "ObstaclesBlackdots", "RoomsFabric"]
+PRESETS = [
+    "MazeSimple",
+    "ObstaclesBlackdots",
+    "RoomsFabric",
+    "DungeonMazeScaled",
+    "ObstaclesAngular",
+    "ObstaclesHogs3",
+]
 N_LEVELS = 48
 SIZE = 25
 
 
 def main() -> None:
     out: dict[str, np.ndarray] = {}
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "tests", "golden", "wfc_ref_corpus.npz"
+    )
+    if os.path.exists(path):  # incremental: keep presets already generated
+        with np.load(path) as z:
+            out.update({k: z[k] for k in z.files})
     from minigrid.core.constants import OBJECT_TO_IDX
 
     for name in PRESETS:
+        if f"{name}_walls" in out:
+            continue
         env = WFCEnv(wfc_config=name, size=SIZE)
         walls = np.zeros((N_LEVELS, SIZE - 2, SIZE - 2), dtype=bool)
         starts = np.zeros((N_LEVELS, 2), dtype=np.int16)
@@ -50,7 +65,6 @@ def main() -> None:
         out[f"{name}_starts"] = starts
         out[f"{name}_goals"] = goals
 
-    path = os.path.join(os.path.dirname(__file__), "..", "tests", "golden", "wfc_ref_corpus.npz")
     np.savez_compressed(path, **out)
     print("wrote", os.path.abspath(path))
 
