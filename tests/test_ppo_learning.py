@@ -38,3 +38,20 @@ def test_ppo_improves_on_empty():
     # works reliably multiplies it severalfold within 30 updates.
     assert late > early * 1.5 + 1e-4, f"no learning: early {early:.5f} late {late:.5f}"
     assert late > 0.01, f"final reward/step too low: {late:.5f}"
+
+
+def test_make_train_scanned_loop():
+    """Whole-run-in-one-jit trainer: scanned updates return stacked metrics
+    and honor the LR anneal schedule."""
+    from minigrid_tpu.rl.ppo import make_train
+
+    env = mg.make("MiniGrid-Empty-5x5-v0")
+    train = make_train(
+        env,
+        PPOConfig(rollout_steps=16, num_minibatches=2, lr_anneal_updates=4),
+        hidden=32,
+    )
+    state, metrics = train(jax.random.PRNGKey(1), 32, 4)
+    assert metrics["reward_per_step"].shape == (4,)
+    assert np.isfinite(np.asarray(metrics["pg_loss"])).all()
+    assert int(state.env_states.step_count.shape[0]) == 32
