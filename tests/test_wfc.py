@@ -184,6 +184,20 @@ def test_preset_tables_shapes():
     assert 0 <= int(t["wall_tile"]) and t["top_left"].shape == (P,)
 
 
+def test_pattern_weights_are_per_pass_presence_counts():
+    """The reference's pattern_frequency counts each unique pattern ONCE per
+    orientation pass (Counter over the per-pass unique list,
+    patterns.py:89-99 merged in :133-146), NOT its occurrence count.  For
+    Blackdots (one black pixel in a 3x3 white field, 8 orientations) that
+    makes all five patterns equally weighted — occurrence counting would
+    weight the all-white pattern 5x and halve the output dot density
+    (caught by test_distribution_matches_reference)."""
+    t = preset_tables("ObstaclesBlackdots")
+    w = np.asarray(t["weights"])
+    assert t["patterns"].shape[0] == 5
+    np.testing.assert_array_equal(w, np.full(5, 8.0, np.float32))
+
+
 _CORPUS_PATH = __file__.rsplit("/", 1)[0] + "/golden/wfc_ref_corpus.npz"
 
 
