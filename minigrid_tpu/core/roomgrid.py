@@ -500,27 +500,80 @@ class RoomGridBuilder:
                 all_unique,
             )
 
-        def place(s, k):
-            kc, kk, kri, krj, kp = jax.random.split(k, 5)
-            if all_unique:
-                # Uniform over combos not yet present (the reference's
-                # rejection loop :417-422 conditioned on acceptance).
-                logits = jnp.where(s.combo_present, -jnp.inf, 0.0)
-                combo = jax.random.categorical(kc, logits)
-                kind = _COMBO_KIND[combo]
-                color = _COMBO_COLOR[combo]
-            else:
-                color = jnp.asarray(SORTED_COLOR_IDX)[randint(kc, 0, 6)]
-                kind = KIND_TABLE[randint(kk, 0, 3)]
-            ri = randint(kri, 0, self.num_cols) if ii is None else ii
-            rj = randint(krj, 0, self.num_rows) if jj is None else jj
-            s, _, _, pos = self.add_object(kp, s, ri, rj, kind=kind, color=color)
-            return s, (kind, color, pos)
+        return self._add_distractors_multi_room(key, s, num_distractors, all_unique)
 
-        s, (kinds, colors, positions) = jax.lax.scan(
-            place, s, jax.random.split(key, num_distractors)
+    def _add_distractors_multi_room(
+        self, key: jax.Array, s: RoomGridState, n: int, all_unique: bool
+    ):
+        """Single-shot distractor placement with a random room per distractor.
+
+        Distribution-equivalent to the reference's sequential loop
+        (minigrid/core/roomgrid.py:396-438): conditional on the iid room
+        assignments, the per-room position draws are independent
+        without-replacement samples over DISJOINT cell sets, so one shared
+        Gumbel field scores every cell and distractor i takes the cell of
+        its room ranked by how many same-room predecessors it has.  The
+        (kind, color) draws are independent of positions (iid, or unique
+        combos via their own Gumbel top-k).
+        """
+        w, h = self.width, self.height
+        k_ri, k_rj, k_pos, k_combo, k_kind, k_color = jax.random.split(key, 6)
+        ri = jax.random.randint(k_ri, (n,), 0, self.num_cols, dtype=jnp.int32)
+        rj = jax.random.randint(k_rj, (n,), 0, self.num_rows, dtype=jnp.int32)
+        order = jnp.arange(n)
+        same_room = (ri[None, :] == ri[:, None]) & (rj[None, :] == rj[:, None])
+        rank = (same_room & (order[None, :] < order[:, None])).sum(-1)  # [n]
+
+        xs, ys = g.coord_grids(w, h)
+        near_agent = (
+            jnp.abs(xs - s.agent_pos[0]) + jnp.abs(ys - s.agent_pos[1])
+        ) < 2
+        base = g.free_mask(s.grid, s.agent_pos) & ~near_agent  # [W, H]
+        rs = self.room_size - 1
+        tx, ty = ri * rs, rj * rs  # [n]
+        inroom = (
+            (xs[None] >= tx[:, None, None])
+            & (xs[None] < (tx + self.room_size)[:, None, None])
+            & (ys[None] >= ty[:, None, None])
+            & (ys[None] < (ty + self.room_size)[:, None, None])
+        )  # [n, W, H]
+        noise = jax.random.gumbel(k_pos, (w * h,))
+        scores = jnp.where(
+            (base[None] & inroom).reshape(n, -1), noise[None, :], -jnp.inf
         )
-        return s, kinds, colors, positions
+        _, idxs = jax.lax.top_k(scores, min(n, w * h))  # [n, n] per-room order
+        flat_idx = idxs[order, rank]  # [n]
+        positions = jnp.stack([flat_idx // h, flat_idx % h], axis=-1).astype(jnp.int32)
+
+        if all_unique:
+            cnoise = jax.random.gumbel(k_combo, (s.combo_present.shape[0],))
+            cscores = jnp.where(s.combo_present, -jnp.inf, cnoise)
+            _, combos = jax.lax.top_k(cscores, n)
+            kinds = _COMBO_KIND[combos]
+            colors = _COMBO_COLOR[combos]
+        else:
+            kinds = KIND_TABLE[jax.random.randint(k_kind, (n,), 0, 3, dtype=jnp.int32)]
+            colors = jnp.asarray(SORTED_COLOR_IDX)[
+                jax.random.randint(k_color, (n,), 0, 6, dtype=jnp.int32)
+            ]
+
+        vals = cell(kinds, colors)
+        onehot = flat_idx[:, None] == jnp.arange(w * h, dtype=jnp.int32)[None, :]
+        overlay = jnp.max(jnp.where(onehot, vals[:, None], 0), axis=0)
+        placed = onehot.any(axis=0)
+        grid = jnp.where(placed, overlay, s.grid.reshape(-1)).reshape(w, h)
+
+        kind_idx = jnp.where(kinds == OBJ_KEY, 0, jnp.where(kinds == OBJ_BALL, 1, 2))
+        sorted_pos = (
+            jnp.asarray(SORTED_COLOR_IDX)[None, :] == colors[:, None]
+        ).argmax(-1)
+        combo_present = s.combo_present.at[kind_idx * 6 + sorted_pos].set(True)
+        return (
+            s.replace(grid=grid, combo_present=combo_present),
+            kinds.astype(jnp.int32),
+            colors.astype(jnp.int32),
+            positions,
+        )
 
     def _add_distractors_fixed_room(
         self, key: jax.Array, s: RoomGridState, i, j, n: int, all_unique: bool
