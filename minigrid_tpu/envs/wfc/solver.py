@@ -214,6 +214,10 @@ def _choose_pattern(key, wave, i, j, weights, choice_heuristic: str):
         "choice_heuristic",
         "backtracking",
         "with_stats",
+        "on_choice",
+        "on_observe",
+        "on_propagate",
+        "on_backtrack",
     ),
 )
 def wfc_solve(
@@ -227,10 +231,19 @@ def wfc_solve(
     choice_heuristic: str = "weighted",
     backtracking: bool = False,
     with_stats: bool = False,
+    on_choice=None,
+    on_observe=None,
+    on_propagate=None,
+    on_backtrack=None,
 ):
     """Solve one wave.  Returns (pattern_grid int32[W, H], success bool) or,
     with ``with_stats=True``, (grid, ok, stats) where stats is a dict of
     scalars: attempts, collapses, backtracks, contradictions.
+
+    ``on_choice(pattern, i, j)`` / ``on_observe(wave)`` / ``on_propagate(wave)``
+    / ``on_backtrack()`` mirror the reference Solver's event hooks
+    (solver.py:47-51); under jit they fire as ``jax.debug.callback``s on the
+    host, so attach them only for debugging/analysis runs.
 
     ``prefs_scale`` is a (W, H)-shaped template used only for its shape: the
     heuristics' random preferences are redrawn per attempt (reference
@@ -285,7 +298,13 @@ def wfc_solve(
             pattern = _choose_pattern(kc, wave, i, j, weights, choice_heuristic)
             snapshot = wave  # reference solve_next entry push (solver.py:84-85)
             collapsed = wave.at[:, i, j].set(False).at[pattern, i, j].set(True)
+            if on_choice is not None:
+                jax.debug.callback(on_choice, pattern, i, j)
+            if on_observe is not None:
+                jax.debug.callback(on_observe, collapsed)
             new_wave, contradiction = _propagate(collapsed, adj, periodic)
+            if on_propagate is not None:
+                jax.debug.callback(on_propagate, new_wave)
             if not backtracking:
                 return (
                     new_wave,
@@ -299,6 +318,8 @@ def wfc_solve(
             # runs outside the reference's try — its contradiction fails the
             # whole attempt (solver.py:85-87).
             def backtrack(_):
+                if on_backtrack is not None:
+                    jax.debug.callback(on_backtrack)
                 banned = snapshot.at[pattern, i, j].set(False)
                 return _propagate(banned, adj, periodic)
 

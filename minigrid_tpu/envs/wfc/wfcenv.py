@@ -148,6 +148,10 @@ def execute_wfc(
     max_attempts: int = 10,
     log_filename: str | None = None,
     log_stats_to_output=None,
+    on_choice=None,
+    on_observe=None,
+    on_propagate=None,
+    on_backtrack=None,
 ):
     """Host-side solve orchestration with per-run stats, mirroring the
     reference's execute_wfc (control.py:63-294): returns
@@ -183,6 +187,10 @@ def execute_wfc(
         choice_heuristic=config.choice_heuristic,
         backtracking=config.backtracking,
         with_stats=True,
+        on_choice=on_choice,
+        on_observe=on_observe,
+        on_propagate=on_propagate,
+        on_backtrack=on_backtrack,
     )
     ok = bool(ok)
     stats.update({k: int(v) for k, v in run_stats.items()})
