@@ -77,6 +77,29 @@ def _scaling_efficiency():
         return None
 
 
+def _ppo_steps_per_sec(num_envs: int = 8192, rollout_steps: int = 128):
+    """End-to-end PPO env-steps/s (rollout + GAE + minibatched update) at
+    the BASELINE north-star configuration."""
+    try:
+        from minigrid_tpu.rl.ppo import PPOConfig, make_ppo
+
+        env = mg.make("MiniGrid-Empty-8x8-v0")
+        init_fn, train_step = make_ppo(env, PPOConfig(rollout_steps=rollout_steps))
+        state = init_fn(jax.random.PRNGKey(11), num_envs)
+        step = jax.jit(train_step)
+        state, m = step(state)
+        jax.block_until_ready(m["pg_loss"])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state, m = step(state)
+            jax.block_until_ready(m["pg_loss"])
+            best = min(best, time.perf_counter() - t0)
+        return num_envs * rollout_steps / best
+    except Exception:
+        return None
+
+
 def main():
     env = mg.make("MiniGrid-Empty-8x8-v0")
     key = jax.random.PRNGKey(0)
@@ -144,6 +167,10 @@ def main():
     for json_key, env_id, n in TRACKED:
         e = mg.make(env_id)
         result[json_key] = round(_rollout_sps(e, n, jax.random.fold_in(key, hash(env_id) % 2**31)))
+
+    ppo = _ppo_steps_per_sec()
+    if ppo is not None:
+        result["ppo_env_steps_per_sec"] = round(ppo)
 
     scaling = _scaling_efficiency()
     if scaling is not None:
