@@ -1116,6 +1116,17 @@ PARITY_GENERATORS: dict[str, Callable[[Any, HostBuilder], Any]] = {
 }
 
 
+def _gen_wfc(env, b: HostBuilder):
+    # Solver-inclusive WFC parity lives in compat/parity_wfc.py (lazy import:
+    # it pulls in the WFC preprocessing tables).
+    from minigrid_tpu.compat.parity_wfc import gen_wfc
+
+    return gen_wfc(env, b)
+
+
+PARITY_GENERATORS["WFCEnv"] = _gen_wfc
+
+
 def _lookup_generator(env):
     """Resolve a parity generator walking the env's MRO (registry variants
     subclass the family classes).  BabyAI levels dispatch to the shared

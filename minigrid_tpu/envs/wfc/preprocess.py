@@ -110,6 +110,27 @@ def _extract_patterns(grid: np.ndarray, k: int):
     return win.reshape(-1, k, k)
 
 
+def legal_adjacency(pats: np.ndarray) -> np.ndarray:
+    """bool[4, P, P] legal adjacencies per direction for [P, k, k] patterns:
+    q offset by DIRECTIONS[d] from p agrees with p on the k x k overlap
+    (reference adjacency.py:17-47).  Vectorized over all (p, q) pairs; shared
+    by the device tables (build_tables) and the seed-parity host solver
+    (compat/parity_wfc.py)."""
+    P, k, _ = pats.shape
+    adj = np.zeros((4, P, P), bool)
+    for di, (dx, dy) in enumerate(DIRECTIONS):
+        # p's cells [r, c] overlap q's cells [r - dy, c - dx] (q is shifted by
+        # (dx, dy) in (col, row) = (x, y) convention).
+        r0p, r1p = max(0, dy), min(k, k + dy)
+        c0p, c1p = max(0, dx), min(k, k + dx)
+        r0q, r1q = max(0, -dy), min(k, k - dy)
+        c0q, c1q = max(0, -dx), min(k, k - dx)
+        a = pats[:, r0p:r1p, c0p:c1p].reshape(P, -1)
+        b = pats[:, r0q:r1q, c0q:c1q].reshape(P, -1)
+        adj[di] = (a[:, None, :] == b[None, :, :]).all(-1)
+    return adj
+
+
 def build_tables(config: WFCConfig):
     """Returns dict of numpy arrays:
     * patterns: int32[P, k, k] tile ids
@@ -138,19 +159,7 @@ def build_tables(config: WFCConfig):
     P = patterns.shape[0]
     pats = patterns.reshape(P, k, k).astype(np.int32)
 
-    # Legal adjacency: q offset by direction d from p agrees on the overlap
-    # (reference adjacency.py:17-47).  Vectorized over all (p, q) pairs.
-    adj = np.zeros((4, P, P), bool)
-    for di, (dx, dy) in enumerate(DIRECTIONS):
-        # p's cells [r, c] overlap q's cells [r - dy, c - dx] (q is shifted by
-        # (dx, dy) in (col, row) = (x, y) convention).
-        r0p, r1p = max(0, dy), min(k, k + dy)
-        c0p, c1p = max(0, dx), min(k, k + dx)
-        r0q, r1q = max(0, -dy), min(k, k - dy)
-        c0q, c1q = max(0, -dx), min(k, k - dx)
-        a = pats[:, r0p:r1p, c0p:c1p].reshape(P, -1)
-        b = pats[:, r0q:r1q, c0q:c1q].reshape(P, -1)
-        adj[di] = (a[:, None, :] == b[None, :, :]).all(-1)
+    adj = legal_adjacency(pats)
 
     # Wall tile: the black color (reference WFCEnv.PATTERN_COLOR_CONFIG).
     wall_candidates = np.where((colors == 0).all(axis=1))[0]
