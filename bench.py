@@ -20,6 +20,7 @@ import os
 import subprocess
 import sys
 import time
+import zlib
 
 import jax
 import jax.numpy as jnp
@@ -166,7 +167,10 @@ def main():
 
     for json_key, env_id, n in TRACKED:
         e = mg.make(env_id)
-        result[json_key] = round(_rollout_sps(e, n, jax.random.fold_in(key, hash(env_id) % 2**31)))
+        # zlib.crc32, not hash(): string hashes are PYTHONHASHSEED-randomized,
+        # which would make the measurement keys differ between runs.
+        fold = zlib.crc32(env_id.encode()) % 2**31
+        result[json_key] = round(_rollout_sps(e, n, jax.random.fold_in(key, fold)))
 
     ppo = _ppo_steps_per_sec()
     if ppo is not None:
