@@ -17,6 +17,13 @@ import jax
 import numpy as np
 
 from minigrid_tpu.core.actions import NUM_ACTIONS
+from minigrid_tpu.core.constants import (
+    DIR_TO_VEC,
+    OBJ_AGENT,
+    OBJ_EMPTY,
+    OBJ_UNSEEN,
+    cell_type,
+)
 from minigrid_tpu.registry import make
 
 try:  # gymnasium is optional; the adapter degrades to a plain class.
@@ -147,6 +154,79 @@ class GymnasiumMiniGrid(_EnvBase):
     @property
     def mission(self) -> str:
         return self.env.mission_text(self.state.mission)
+
+    @property
+    def steps_remaining(self) -> int:
+        # reference: minigrid/minigrid_env.py:171-173
+        return self.max_steps - self.step_count
+
+    @property
+    def carrying(self) -> tuple[int, int] | None:
+        """(type, color) of the carried object, or None (the functional
+        state packs carrying as one int; reference keeps a WorldObj)."""
+        c = int(self.state.carrying)
+        return None if c == 0 else (c & 0xFF, (c >> 8) & 0xFF)
+
+    @property
+    def dir_vec(self):
+        # reference: minigrid/minigrid_env.py:397-407
+        d = self.agent_dir
+        assert 0 <= d < 4, f"Invalid agent_dir: {d} is not within range(0, 4)"
+        return np.asarray(DIR_TO_VEC)[d]
+
+    @property
+    def right_vec(self):
+        dx, dy = self.dir_vec
+        return np.array((-dy, dx))
+
+    @property
+    def front_pos(self):
+        return np.asarray(self.agent_pos) + self.dir_vec
+
+    def get_view_coords(self, i, j):
+        """World (i, j) -> agent-view coordinates; may land outside the view
+        (reference: minigrid/minigrid_env.py:426-451)."""
+        ax, ay = self.agent_pos
+        dx, dy = self.dir_vec
+        rx, ry = self.right_vec
+        sz = self.env.agent_view_size
+        hs = sz // 2
+        tx = ax + dx * (sz - 1) - rx * hs
+        ty = ay + dy * (sz - 1) - ry * hs
+        lx, ly = i - tx, j - ty
+        return int(rx * lx + ry * ly), int(-(dx * lx + dy * ly))
+
+    def relative_coords(self, x, y):
+        """View coords of world (x, y), or None when outside the view box
+        (reference: minigrid/minigrid_env.py:486-496)."""
+        vx, vy = self.get_view_coords(x, y)
+        sz = self.env.agent_view_size
+        if vx < 0 or vy < 0 or vx >= sz or vy >= sz:
+            return None
+        return vx, vy
+
+    def in_view(self, x, y) -> bool:
+        return self.relative_coords(x, y) is not None
+
+    def agent_sees(self, x, y) -> bool:
+        """True when the non-empty world cell (x, y) is inside the view box
+        AND survives occlusion, judged exactly like the reference — by
+        comparing the encoded observation's type against the world cell's
+        (reference: minigrid/minigrid_env.py:505-523, including its assert
+        that the queried cell is non-empty)."""
+        coordinates = self.relative_coords(x, y)
+        if coordinates is None:
+            return False
+        vx, vy = coordinates
+
+        obs = self.env.observation(self.state)
+        obs_type = int(np.asarray(obs["image"])[vx, vy, 0])
+        world_type = int(cell_type(self.state.grid[x, y]))
+        assert world_type != OBJ_EMPTY  # reference asserts world_cell is not None
+        # Grid.decode maps unseen/empty/agent to None (world_object.py:77-78).
+        return obs_type not in (OBJ_UNSEEN, OBJ_EMPTY, OBJ_AGENT) and (
+            obs_type == world_type
+        )
 
     def hash(self, size: int = 16) -> str:
         from minigrid_tpu.utils.debug import state_hash

@@ -60,3 +60,40 @@ def test_gym_shim_parity_episode_chain(env_id):
                 break
         ro, _ = ref.reset()  # unseeded: RNG stream continues
         oo, _ = ours.reset()
+
+
+def test_view_query_api_parity():
+    """agent_sees / in_view / front_pos / dir_vec / steps_remaining parity:
+    the shim's view-coordinate queries (reference minigrid_env.py:398-523)
+    must agree with the reference on every non-empty cell of every step of a
+    live episode, including occlusion judged through the encoded obs."""
+    import gymnasium as gym
+    import minigrid
+
+    minigrid.register_minigrid_envs()
+    from minigrid_tpu.compat.gym import gym_make
+
+    env_id = "MiniGrid-DoorKey-6x6-v0"
+    ref = gym.make(env_id).unwrapped
+    ours = gym_make(env_id, parity=True)
+    ref.reset(seed=42)
+    ours.reset(seed=42)
+
+    rng = np.random.default_rng(0)
+    for t in range(40):
+        assert np.array_equal(ours.dir_vec, ref.dir_vec)
+        assert np.array_equal(ours.right_vec, ref.right_vec)
+        assert np.array_equal(ours.front_pos, ref.front_pos)
+        assert ours.steps_remaining == ref.steps_remaining
+        for x in range(ref.width):
+            for y in range(ref.height):
+                assert ours.in_view(x, y) == ref.in_view(x, y), (t, x, y)
+                if ref.grid.get(x, y) is None:
+                    continue  # reference agent_sees asserts on empty cells
+                assert ours.agent_sees(x, y) == ref.agent_sees(x, y), (t, x, y)
+                assert ours.relative_coords(x, y) == ref.relative_coords(x, y)
+        a = int(rng.integers(0, 7))
+        _, _, term, trunc, _ = ref.step(a)
+        ours.step(a)
+        if term or trunc:
+            break
