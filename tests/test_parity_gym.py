@@ -30,6 +30,7 @@ if os.path.isdir(os.path.join(REFERENCE, "minigrid")):
         "MiniGrid-FourRooms-v0",
         "BabyAI-GoToLocal-v0",
         "BabyAI-OpenTwoDoors-v0",
+        "MiniGrid-WFC-MazeSimple-v0",
     ],
 )
 def test_gym_shim_parity_episode_chain(env_id):
