@@ -83,6 +83,24 @@ def main():
             flush=True,
         )
 
+    # -- 3b. WFC level generation time ---------------------------------------
+    from minigrid_tpu.envs.wfc.solver import wfc_solve
+    from minigrid_tpu.envs.wfc.preprocess import preset_tables
+
+    t = preset_tables("MazeSimple")
+    wfc = jax.jit(
+        lambda k: wfc_solve(
+            k,
+            jnp.asarray(t["adj"]),
+            jnp.asarray(t["weights"]),
+            jnp.zeros((23, 23)),
+            periodic=False,
+            max_attempts=64,
+        )
+    )
+    t_wfc = timed(wfc, jax.random.fold_in(key, 6))
+    print(f"wfc MazeSimple   {t_wfc*1e3:8.1f} ms/level", flush=True)
+
     # -- 4. PPO end-to-end ----------------------------------------------------
     from minigrid_tpu.rl.ppo import PPOConfig, make_ppo
 
