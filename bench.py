@@ -166,11 +166,15 @@ def main():
     }
 
     for json_key, env_id, n in TRACKED:
-        e = mg.make(env_id)
         # zlib.crc32, not hash(): string hashes are PYTHONHASHSEED-randomized,
         # which would make the measurement keys differ between runs.
         fold = zlib.crc32(env_id.encode()) % 2**31
-        result[json_key] = round(_rollout_sps(e, n, jax.random.fold_in(key, fold)))
+        try:
+            e = mg.make(env_id)
+            result[json_key] = round(_rollout_sps(e, n, jax.random.fold_in(key, fold)))
+        except Exception as exc:  # one bad config must not kill the bench line
+            result[json_key] = None
+            print(f"# {json_key} failed: {exc!r}", file=sys.stderr)
 
     ppo = _ppo_steps_per_sec()
     if ppo is not None:
