@@ -66,6 +66,11 @@ class RoomGridState:
     combo_present: jnp.ndarray  # bool[18] — (kind, color) pairs placed
     agent_pos: jnp.ndarray  # int32[2]
     agent_dir: jnp.ndarray  # int32[]
+    # Feasibility accumulator: False once any placement found no free cell —
+    # the traced counterpart of the reference's place_obj RecursionError
+    # (minigrid/minigrid_env.py:339-343), which aborts the whole generation
+    # attempt; RoomGridLevel folds it into attempt validity and resamples.
+    ok: jnp.ndarray  # bool[]
 
 
 class RoomGridBuilder:
@@ -120,6 +125,7 @@ class RoomGridBuilder:
             combo_present=jnp.zeros((18,), bool),
             agent_pos=agent_pos,
             agent_dir=jnp.int32(0),
+            ok=jnp.asarray(True),
         )
 
     # -- door helpers ----------------------------------------------------------
@@ -241,7 +247,7 @@ class RoomGridBuilder:
         m = g.free_mask(s.grid, s.agent_pos) & self.room_interior_mask(i, j) & ~near_agent
         pos = sample_mask_cell(key, m)
         grid = g.set_cell(s.grid, pos[0], pos[1], cell_value)
-        return s.replace(grid=grid), pos
+        return s.replace(grid=grid, ok=s.ok & m.any()), pos
 
     def add_object(self, key: jax.Array, s: RoomGridState, i, j, kind=None, color=None):
         """Add a key/ball/box of the given or random kind/color
@@ -296,7 +302,9 @@ class RoomGridBuilder:
         d = idx % 4
         xy = idx // 4
         pos = jnp.stack([xy // h, xy % h]).astype(jnp.int32)
-        return s.replace(agent_pos=pos, agent_dir=d.astype(jnp.int32))
+        return s.replace(
+            agent_pos=pos, agent_dir=d.astype(jnp.int32), ok=s.ok & m.any()
+        )
 
     def agent_room_mask(self, s: RoomGridState) -> jnp.ndarray:
         """bool[W, H] rect (walls included) of the agent's current room
@@ -541,9 +549,14 @@ class RoomGridBuilder:
         scores = jnp.where(
             (base[None] & inroom).reshape(n, -1), noise[None, :], -jnp.inf
         )
-        _, idxs = jax.lax.top_k(scores, min(n, w * h))  # [n, n] per-room order
+        vals, idxs = jax.lax.top_k(scores, min(n, w * h))  # [n, n] per-room order
         flat_idx = idxs[order, rank]  # [n]
         positions = jnp.stack([flat_idx // h, flat_idx % h], axis=-1).astype(jnp.int32)
+        # A -inf pick means distractor i's room ran out of free cells — the
+        # reference's place_obj would RecursionError and abort the attempt
+        # (roomgrid.py:410 via minigrid_env.py:339-343); flag instead of
+        # silently writing to an arbitrary cell.
+        feasible = jnp.isfinite(vals[order, rank]).all()
 
         if all_unique:
             cnoise = jax.random.gumbel(k_combo, (s.combo_present.shape[0],))
@@ -569,7 +582,7 @@ class RoomGridBuilder:
         ).argmax(-1)
         combo_present = s.combo_present.at[kind_idx * 6 + sorted_pos].set(True)
         return (
-            s.replace(grid=grid, combo_present=combo_present),
+            s.replace(grid=grid, combo_present=combo_present, ok=s.ok & feasible),
             kinds.astype(jnp.int32),
             colors.astype(jnp.int32),
             positions,
@@ -602,8 +615,11 @@ class RoomGridBuilder:
         )
         noise = jax.random.gumbel(k_pos, (w * h,))
         scores = jnp.where(m.reshape(-1), noise, -jnp.inf)
-        _, flat_idx = jax.lax.top_k(scores, n)  # ordered like sequential draws
+        vals, flat_idx = jax.lax.top_k(scores, n)  # ordered like sequential draws
         positions = jnp.stack([flat_idx // h, flat_idx % h], axis=-1).astype(jnp.int32)
+        # Fewer than n free cells ⇒ the reference's sequential loop would
+        # RecursionError; flag instead of writing to an arbitrary cell.
+        feasible = jnp.isfinite(vals).all()
 
         if all_unique:
             cnoise = jax.random.gumbel(k_combo, (s.combo_present.shape[0],))
@@ -629,7 +645,7 @@ class RoomGridBuilder:
         ).argmax(-1)
         combo_present = s.combo_present.at[kind_idx * 6 + sorted_pos].set(True)
         return (
-            s.replace(grid=grid, combo_present=combo_present),
+            s.replace(grid=grid, combo_present=combo_present, ok=s.ok & feasible),
             kinds.astype(jnp.int32),
             colors.astype(jnp.int32),
             positions,

@@ -97,7 +97,10 @@ class RoomGridLevel(RoomGridEnvBase):
     # -- shared validation (reference roomgrid_level.py:145-198) -------------
     def _validate(self, s: RoomGridState, instr: InstrState) -> jnp.ndarray:
         grid = s.grid
-        ok = jnp.asarray(True)
+        # Placement feasibility: a full room makes the reference's place_obj
+        # raise RecursionError, aborting the attempt (roomgrid_level.py:
+        # 118-139); the builder accumulates that as s.ok.
+        ok = jnp.asarray(s.ok)
 
         # PutNext checks (:159-176): descriptor sets must not intersect and
         # must not already be adjacent.

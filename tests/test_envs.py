@@ -213,3 +213,40 @@ def test_rollout_smoke(env_id):
     states, total_r, total_done = rollout_random(env, states, jax.random.PRNGKey(2), 50)
     assert np.isfinite(float(total_r))
     assert np.asarray(states.grid).shape[0] == 8
+
+
+def test_distractor_overflow_invalidates_attempt():
+    """A room with fewer free cells than requested distractors must flag the
+    attempt infeasible (RoomGridState.ok False) instead of silently writing
+    to an arbitrary cell — the traced counterpart of the reference's
+    place_obj RecursionError retry (minigrid/minigrid_env.py:339-343).
+    Regression: BabyAI-SynthS5R2 episodes grew border-cell objects when a
+    random-room distractor's within-room rank exceeded room capacity."""
+    from minigrid_tpu.core.roomgrid import RoomGridBuilder
+
+    key = jax.random.PRNGKey(0)
+    b = RoomGridBuilder(room_size=4, num_rows=1, num_cols=1)  # 2x2 interior
+    s = b.init(jax.random.fold_in(key, 1))
+    s = b.place_agent(jax.random.fold_in(key, 2), s)
+    assert bool(s.ok)
+
+    # Fixed-room path: more distractors than the room can hold.
+    s_over, _, _, _ = b.add_distractors(
+        jax.random.fold_in(key, 3), s, i=0, j=0, num_distractors=12, all_unique=False
+    )
+    assert not bool(s_over.ok)
+
+    # Feasible count keeps ok True.
+    s_ok, _, _, _ = b.add_distractors(
+        jax.random.fold_in(key, 4), s, i=0, j=0, num_distractors=1, all_unique=False
+    )
+    assert bool(s_ok.ok)
+
+    # Multi-room path: tiny 2-room lattice, overfill across random rooms.
+    b2 = RoomGridBuilder(room_size=4, num_rows=1, num_cols=2)
+    s2 = b2.init(jax.random.fold_in(key, 5))
+    s2 = b2.place_agent(jax.random.fold_in(key, 6), s2)
+    s2_over, _, _, _ = b2.add_distractors(
+        jax.random.fold_in(key, 7), s2, num_distractors=18, all_unique=False
+    )
+    assert not bool(s2_over.ok)
