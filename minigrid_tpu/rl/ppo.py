@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import optax
 
 from minigrid_tpu.rl.model import ActorCritic
+from minigrid_tpu.rl.rollout import collect_trajectory
 
 
 class PPOConfig(NamedTuple):
@@ -80,57 +81,13 @@ def make_ppo(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
         return model.apply(params, image, direction)
 
     def rollout(params, env_states, key):
-        num_envs = env_states.step_count.shape[0]
-        if env.expensive_reset:
-            # Per-chunk reset cache: level generation amortized over the
-            # rollout instead of fused into every step (core/env.py).
-            key, k_cache = jax.random.split(key)
-            cache = env.batch_reset_cache(
-                k_cache, num_envs, config.resets_per_chunk
-            )
-            step_cached = jax.vmap(env.step_cached)
-
-        def body(carry, _):
-            env_states, used, key = carry
-            key, k_act = jax.random.split(key)
-            obs = jax.vmap(env.observation)(env_states)
-            logits, value = policy_apply(params, obs["image"], obs["direction"])
-            action = jax.random.categorical(k_act, logits)
-            # One-hot contraction instead of a [N]-row gather (tiny-row
-            # gathers are ~5x slower than a fused masked reduce on TPU).
-            logp = jnp.sum(
-                jnp.where(
-                    action[:, None] == jnp.arange(logits.shape[-1]),
-                    jax.nn.log_softmax(logits),
-                    0.0,
-                ),
-                axis=-1,
-            )
-            if env.expensive_reset:
-                _, env_states, reward, terminated, truncated, used = step_cached(
-                    env_states, action, cache, used
-                )
-            else:
-                _, env_states, reward, terminated, truncated = jax.vmap(env.step)(
-                    env_states, action
-                )
-            done = terminated | truncated
-            # Store the image FLAT [N, v*v*3]: a stacked [T, N, 7, 7, 3]
-            # uint8 trajectory tiles its (7, 3) minor dims to (8, 128) on
-            # TPU — a ~43x physical-size blowup written every rollout and
-            # re-read every update epoch.  [T, N, 147] tiles to 256 lanes
-            # (1.7x) instead.
-            img_flat = obs["image"].reshape(num_envs, -1)
-            traj = (img_flat, obs["direction"], action, logp, value, reward, done)
-            return (env_states, used, key), traj
-
-        (env_states, _, key), traj = jax.lax.scan(
-            body,
-            (env_states, jnp.zeros((num_envs,), jnp.int32), key),
-            None,
-            length=config.rollout_steps,
+        # Shared collector (rl/rollout.py): lax.scan over time, auto-reset
+        # fused (or the per-chunk reset cache for expensive-reset families),
+        # image stored flat to avoid minor-dim tile blowup.
+        return collect_trajectory(
+            env, policy_apply, params, env_states, key,
+            config.rollout_steps, config.resets_per_chunk,
         )
-        return env_states, key, traj
 
     def gae(values, rewards, dones, last_value):
         def body(carry, inp):

@@ -1,0 +1,82 @@
+"""Shared on-device trajectory collection for the RL learners.
+
+One ``lax.scan`` over time with auto-reset fused (or the per-chunk reset
+cache for expensive-reset families); used by both the PPO and IMPALA
+learners.  Trajectories are stored time-major with the observation image
+flattened to [T, N, v*v*3] — a stacked [T, N, 7, 7, 3] uint8 tensor tiles
+its (7, 3) minor dims to (8, 128) on TPU, a ~43x physical blowup written
+every rollout (see rl/ppo.py round-2 notes).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Trajectory(NamedTuple):
+    image: jnp.ndarray  # uint8[T, N, v*v*3]
+    direction: jnp.ndarray  # int32[T, N]
+    action: jnp.ndarray  # int32[T, N]
+    logp: jnp.ndarray  # f32[T, N] — behavior-policy log prob
+    value: jnp.ndarray  # f32[T, N]
+    reward: jnp.ndarray  # f32[T, N]
+    done: jnp.ndarray  # bool[T, N]
+
+
+def collect_trajectory(
+    env,
+    policy_apply,
+    params,
+    env_states,
+    key: jax.Array,
+    rollout_steps: int,
+    resets_per_chunk: int = 2,
+):
+    """Scan ``rollout_steps`` policy steps; returns (env_states, key, Trajectory)."""
+    num_envs = env_states.step_count.shape[0]
+    if env.expensive_reset:
+        key, k_cache = jax.random.split(key)
+        cache = env.batch_reset_cache(k_cache, num_envs, resets_per_chunk)
+        step_cached = jax.vmap(env.step_cached)
+
+    def body(carry, _):
+        env_states, used, key = carry
+        key, k_act = jax.random.split(key)
+        obs = jax.vmap(env.observation)(env_states)
+        logits, value = policy_apply(params, obs["image"], obs["direction"])
+        action = jax.random.categorical(k_act, logits)
+        # One-hot contraction instead of a [N]-row gather (tiny-row gathers
+        # are ~5x slower than a fused masked reduce on TPU).
+        logp = jnp.sum(
+            jnp.where(
+                action[:, None] == jnp.arange(logits.shape[-1]),
+                jax.nn.log_softmax(logits),
+                0.0,
+            ),
+            axis=-1,
+        )
+        if env.expensive_reset:
+            _, env_states, reward, terminated, truncated, used = step_cached(
+                env_states, action, cache, used
+            )
+        else:
+            _, env_states, reward, terminated, truncated = jax.vmap(env.step)(
+                env_states, action
+            )
+        done = terminated | truncated
+        img_flat = obs["image"].reshape(num_envs, -1)
+        traj = Trajectory(
+            img_flat, obs["direction"], action, logp, value, reward, done
+        )
+        return (env_states, used, key), traj
+
+    (env_states, _, key), traj = jax.lax.scan(
+        body,
+        (env_states, jnp.zeros((num_envs,), jnp.int32), key),
+        None,
+        length=rollout_steps,
+    )
+    return env_states, key, traj
