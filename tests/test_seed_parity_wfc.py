@@ -122,3 +122,37 @@ def test_trajectory_parity():
         assert bool(state.truncated) == ref_trunc
         if ref_term or ref_trunc:
             break
+
+
+def test_inconsistent_preset_parity_including_failures():
+    """Unregistered contradiction-prone presets: same seed ⇒ same level OR
+    the same generation failure.  The reference's attempt loop returns after
+    its first attempt regardless of attempt_limit (control.py:230-283
+    returns inside the while), so a contradiction surfaces as RuntimeError
+    on both sides with the RNG streams in lockstep."""
+    from minigrid.envs.wfc.config import WFC_PRESETS_INCONSISTENT as REF_INC
+    from minigrid.envs.wfc.wfcenv import WFCEnv as RefWFCEnv
+
+    from minigrid_tpu.compat.parity import _np_random, generate_with_rng
+    from minigrid_tpu.envs.wfc.preprocess import WFC_PRESETS_INCONSISTENT
+    from minigrid_tpu.envs.wfc.wfcenv import WFCEnv
+
+    for name, seeds in (("MazeWall", (0, 9)), ("ObstaclesHogs2", (0, 2, 6))):
+        ref = RefWFCEnv(wfc_config=REF_INC[name], size=15)
+        ours = WFCEnv(wfc_config=WFC_PRESETS_INCONSISTENT[name], size=15)
+        for seed in seeds:
+            try:
+                ref.reset(seed=seed)
+                ref_outcome = "ok"
+            except RuntimeError:
+                ref_outcome = "fail"
+            try:
+                state = generate_with_rng(ours, _np_random(seed), seed)
+                our_outcome = "ok"
+            except RuntimeError:
+                our_outcome = "fail"
+            assert our_outcome == ref_outcome, (name, seed)
+            if ref_outcome == "ok":
+                assert np.array_equal(
+                    np.asarray(unpack_grid(state.grid)), ref.grid.encode()
+                ), (name, seed)
