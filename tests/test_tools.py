@@ -155,3 +155,31 @@ def test_pprint_grid_matches_reference():
                 max_steps=10,
             )
             assert pprint_grid(state) == str(z[f"g{i}_text"])
+
+
+def test_train_state_checkpoint_resume_bitexact(tmp_path):
+    """Checkpoint/resume of a learner TrainState mid-training: restoring and
+    continuing must reproduce the uninterrupted run's metrics bit-for-bit
+    (SURVEY §5.4 — the reference has no long-running jobs to checkpoint;
+    here it is a first-class feature of the train loop)."""
+    from minigrid_tpu.rl.ppo import PPOConfig, make_ppo
+    from minigrid_tpu.utils.checkpoint import load_npz, save_npz
+
+    env = mg.make("MiniGrid-Empty-5x5-v0")
+    init_fn, train_step = make_ppo(
+        env, PPOConfig(rollout_steps=16, num_minibatches=2), hidden=32
+    )
+    step = jax.jit(train_step)
+    state = init_fn(jax.random.PRNGKey(3), num_envs=16)
+    state, _ = step(state)
+
+    path = str(tmp_path / "trainstate.npz")
+    save_npz(path, state)
+    state_resumed = load_npz(path, state)
+
+    cont, m_cont = step(state)
+    res, m_res = step(state_resumed)
+    for k in m_cont:
+        assert np.array_equal(np.asarray(m_cont[k]), np.asarray(m_res[k])), k
+    for a, b in zip(jax.tree.leaves(cont.params), jax.tree.leaves(res.params)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
