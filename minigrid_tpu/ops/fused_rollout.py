@@ -1,0 +1,588 @@
+"""Whole-rollout fused transition kernel (Pallas, TPU).
+
+One kernel program runs ``T`` environment steps for a block of envs with the
+ENTIRE episode state resident in VMEM: packed grid, contains plane, agent
+scalars, mission vector, and the auto-reset cache.  HBM is touched once per
+block (state in, state out, the per-step action stream) instead of once per
+step, and the step -> autoreset -> observation chain is computed in place —
+the "keep each env's grid in VMEM across step->obs" design the XLA scan
+cannot express (each scan iteration round-trips the carry through HBM and
+materializes obs intermediates).
+
+Semantics are exactly ``MiniGridEnv.step_cached`` (core/env.py:134-173) —
+core transition (core/step.py, itself a port of the reference hot loop
+minigrid/minigrid_env.py:525-650), auto-reset drawn from a pre-generated
+cache of R fresh episodes, observation of the post-reset state — for
+families with DEFAULT hooks (no ``_pre_step``/``_post_step``/``_map_action``
+overrides, no ``extra`` state).  The in-episode RNG chain is NOT threaded
+through the kernel: default-hook families never consume it, and the caller
+re-keys the returned states (see ``fused_rollout``).
+
+Layout
+------
+Envs live in the two TRAILING dims, always shaped ``(..., 8, 128)`` — one
+full int32 VPU tile — so every per-env operation (including the per-env
+"scalar" logic of the step rules and the occlusion flood) runs at 100% lane
+utilization.  Structural axes (grid cell, view slot, cache slot) are LEADING
+dims, where no tiling padding applies.  A block holds ``E2 * 1024`` envs.
+
+The observation is consumed in-kernel as a packed checksum
+(sum of visible packed cells, int32 wraparound) — the same full-rank
+consumption contract as bench.py's obs-consumed metric: every element of
+every observation feeds the output, so nothing can be dead-code-eliminated.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from minigrid_tpu.core.constants import (
+    OBJ_BALL,
+    OBJ_BOX,
+    OBJ_DOOR,
+    OBJ_EMPTY,
+    OBJ_FLOOR,
+    OBJ_GOAL,
+    OBJ_KEY,
+    OBJ_LAVA,
+    OBJ_WALL,
+    STATE_LOCKED,
+    STATE_OPEN,
+    WALL_CELL,
+)
+from minigrid_tpu.core.state import MISSION_DIM
+
+# Scalar-plane row indices (the per-env int32 state vector).
+ROW_AX, ROW_AY, ROW_DIR, ROW_CARRY, ROW_STEP, ROW_MAX, ROW_TERM, ROW_TRUNC = range(8)
+NUM_SC = 8
+
+# Python-int wall cell (WALL_CELL is a device constant; kernels must not
+# capture traced values).
+_WALL = int(WALL_CELL)
+
+
+def _dir_vec(d):
+    """DIR_TO_VEC as predicated selects (no gather): 0:+x 1:+y 2:-x 3:-y."""
+    one = jnp.int32(1)
+    zero = jnp.int32(0)
+    dx = jnp.where(d == 0, one, jnp.where(d == 2, -one, zero))
+    dy = jnp.where(d == 1, one, jnp.where(d == 3, -one, zero))
+    return dx, dy
+
+
+def _can_overlap(t, s):
+    return (
+        (t == OBJ_EMPTY)
+        | (t == OBJ_FLOOR)
+        | (t == OBJ_GOAL)
+        | (t == OBJ_LAVA)
+        | ((t == OBJ_DOOR) & (s == STATE_OPEN))
+    )
+
+
+def _can_pickup(t):
+    return (t == OBJ_KEY) | (t == OBJ_BALL) | (t == OBJ_BOX)
+
+
+def _see_behind(t, s):
+    return ~((t == OBJ_WALL) | ((t == OBJ_DOOR) & (s != STATE_OPEN)))
+
+
+def _step_block(g, c, sc, action, *, W, H):
+    """One core_step over a block.  ``g``/``c``: int32[WH, *S]; ``sc``: dict of
+    int32[*S] scalar planes; returns updated (g, c, sc, reward f32[*S]).
+
+    Line-for-line port of core/step.py:48-158 into the block layout.
+    """
+    WH = W * H
+    S = action.shape
+    ax, ay, d = sc[ROW_AX], sc[ROW_AY], sc[ROW_DIR]
+    carry = sc[ROW_CARRY]
+    step_count = sc[ROW_STEP] + 1
+    max_steps = sc[ROW_MAX]
+
+    dx, dy = _dir_vec(d)
+    fx = jnp.clip(ax + dx, 0, W - 1)
+    fy = jnp.clip(ay + dy, 0, H - 1)
+    fidx = fx * H + fy
+
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (WH,) + S, 0)
+    fmask = cidx == fidx[None]
+    fcell = jnp.sum(jnp.where(fmask, g, 0), axis=0)
+    fcont = jnp.sum(jnp.where(fmask, c, 0), axis=0)
+    ftype = fcell & 0xFF
+    fcolor = (fcell >> 8) & 0xFF
+    fstate = (fcell >> 16) & 0xFF
+
+    is_left = action == 0
+    is_right = action == 1
+    is_fwd = action == 2
+    is_pickup = action == 3
+    is_drop = action == 4
+    is_toggle = action == 5
+
+    d = jnp.where(is_left, (d + 3) & 3, jnp.where(is_right, (d + 1) & 3, d))
+
+    moves = is_fwd & _can_overlap(ftype, fstate)
+    ax = jnp.where(moves, fx, ax)
+    ay = jnp.where(moves, fy, ay)
+    hit_goal = is_fwd & (ftype == OBJ_GOAL)
+    hit_lava = is_fwd & (ftype == OBJ_LAVA)
+    terminated = hit_goal | hit_lava
+    reward = jnp.where(
+        hit_goal,
+        1.0 - 0.9 * (step_count.astype(jnp.float32) / max_steps.astype(jnp.float32)),
+        0.0,
+    )
+
+    hands_free = carry == 0
+    do_pickup = is_pickup & _can_pickup(ftype) & hands_free & (ftype != OBJ_EMPTY)
+    do_drop = is_drop & (ftype == OBJ_EMPTY) & ~hands_free
+    is_door = ftype == OBJ_DOOR
+    is_box = ftype == OBJ_BOX
+    has_key = ((carry & 0xFF) == OBJ_KEY) & (((carry >> 8) & 0xFF) == fcolor)
+    door_new_state = jnp.where(
+        fstate == STATE_LOCKED,
+        jnp.where(has_key, STATE_OPEN, STATE_LOCKED),
+        jnp.where(fstate == STATE_OPEN, 1, 0),
+    )
+    do_toggle_door = is_toggle & is_door
+    do_toggle_box = is_toggle & is_box
+
+    drop_cell = carry & 0xFFFF
+    door_cell = (fcell & 0xFFFF) | (door_new_state << 16)
+    box_reveal = jnp.where(fcont == 0, jnp.int32(OBJ_EMPTY), fcont)
+    new_fcell = fcell
+    new_fcell = jnp.where(do_pickup, jnp.int32(OBJ_EMPTY), new_fcell)
+    new_fcell = jnp.where(do_drop, drop_cell, new_fcell)
+    new_fcell = jnp.where(do_toggle_door, door_cell, new_fcell)
+    new_fcell = jnp.where(do_toggle_box, box_reveal, new_fcell)
+
+    new_fcont = fcont
+    new_fcont = jnp.where(do_pickup | do_toggle_box, 0, new_fcont)
+    new_fcont = jnp.where(do_drop, (carry >> 16) & 0xFFFF, new_fcont)
+
+    write = do_pickup | do_drop | do_toggle_door | do_toggle_box
+    wmask = fmask & write[None]
+    g = jnp.where(wmask, new_fcell[None], g)
+    c = jnp.where(wmask, new_fcont[None], c)
+
+    picked = ftype | (fcolor << 8) | (fcont << 16)
+    carry = jnp.where(do_pickup, picked, carry)
+    carry = jnp.where(do_drop, 0, carry)
+
+    truncated = step_count >= max_steps
+
+    out = dict(sc)
+    out[ROW_AX], out[ROW_AY], out[ROW_DIR] = ax, ay, d
+    out[ROW_CARRY] = carry
+    out[ROW_STEP] = step_count
+    out[ROW_TERM] = terminated.astype(jnp.int32)
+    out[ROW_TRUNC] = truncated.astype(jnp.int32)
+    return g, c, out, reward
+
+
+def _obs_checksum_block(g, sc, *, W, H, V, see_through):
+    """Packed-obs checksum for a block: sum over the V x V agent view of the
+    visible packed cells (agent slot overridden with the carried object).
+
+    Direction-folded separable extraction (port of core/obs.py:55-105) and
+    the bit-parallel occlusion flood (core/obs.py:108-154), both expressed on
+    the dense env-tile layout.
+    """
+    ax, ay, d, carry = sc[ROW_AX], sc[ROW_AY], sc[ROW_DIR], sc[ROW_CARRY]
+    S = ax.shape
+    fx, fy = _dir_vec(d)
+    rx, ry = -fy, fx
+    horizontal = fx != 0
+
+    g4 = g.reshape((W, H) + S)
+
+    xsel, ysel, x_ok, y_ok = [], [], [], []
+    for k in range(V):
+        along = V - 1 - k
+        across = k - V // 2
+        xs = jnp.where(horizontal, ax + fx * along, ax + rx * across)
+        ys = jnp.where(horizontal, ay + ry * across, ay + fy * along)
+        xsel.append(xs)
+        ysel.append(ys)
+        x_ok.append((xs >= 0) & (xs < W))
+        y_ok.append((ys >= 0) & (ys < H))
+
+    # rows[i] = grid[xsel[i], :]  (one-hot contraction over x)
+    rows = []
+    for i in range(V):
+        acc = jnp.zeros((H,) + S, jnp.int32)
+        for x in range(W):
+            acc = acc + jnp.where((xsel[i] == x)[None], g4[x], 0)
+        rows.append(acc)
+
+    # y one-hot masks, hoisted per j (shared across all i)
+    ymask = [[ysel[j] == y for y in range(H)] for j in range(V)]
+
+    wall = jnp.int32(_WALL)
+    cells0 = [[None] * V for _ in range(V)]
+    for i in range(V):
+        for j in range(V):
+            acc = jnp.zeros(S, jnp.int32)
+            for y in range(H):
+                acc = acc + jnp.where(ymask[j][y], rows[i][y], 0)
+            cells0[i][j] = jnp.where(x_ok[i] & y_ok[j], acc, wall)
+
+    # Facing east/west the selector-slot axes swap relative to view axes
+    # (core/obs.py:101-105): select between the transposed pairs.
+    view = [[None] * V for _ in range(V)]
+    for a in range(V):
+        for b in range(V):
+            if a == b:
+                view[a][b] = cells0[a][b]
+            else:
+                view[a][b] = jnp.where(horizontal, cells0[b][a], cells0[a][b])
+
+    # Carried object (or empty) at the agent slot (core/obs.py:168-174).
+    agent_cell = jnp.where(carry != 0, carry & 0xFFFF, jnp.int32(OBJ_EMPTY))
+    view[V // 2][V - 1] = agent_cell
+
+    if see_through:
+        total = jnp.zeros(S, jnp.int32)
+        for a in range(V):
+            for b in range(V):
+                total = total + view[a][b]
+        return total
+
+    # Bit-parallel occlusion flood (core/obs.py:108-154): per-row int32
+    # bitmasks, closed-form rightward carry flood, v-1 leftward spreads.
+    full = jnp.int32((1 << V) - 1)
+    row_t = []
+    for j in range(V):
+        t = jnp.zeros(S, jnp.int32)
+        for i in range(V):
+            vt = view[i][j] & 0xFF
+            vs = (view[i][j] >> 16) & 0xFF
+            t = t | jnp.where(_see_behind(vt, vs), jnp.int32(1 << i), 0)
+        row_t.append(t)
+
+    def flood_right(m, t):
+        return m | ((((m & t) + t) & full) ^ t)
+
+    def flood_left(m, t):
+        for _ in range(V - 1):
+            m = m | ((m & t) >> 1)
+        return m
+
+    up = jnp.full(S, 1 << (V // 2), jnp.int32)
+    bits = [None] * V
+    for j in range(V - 1, -1, -1):
+        t = row_t[j]
+        m_r = flood_right(up, t)
+        cond_r = m_r & t & jnp.int32((1 << (V - 1)) - 1)
+        new_up = cond_r | ((cond_r << 1) & full)
+        m_l = flood_left(m_r, t)
+        cond_l = m_l & t & ~jnp.int32(1)
+        bits[j] = m_l
+        up = new_up | cond_l | (cond_l >> 1)
+
+    total = jnp.zeros(S, jnp.int32)
+    for a in range(V):
+        for b in range(V):
+            vis = (bits[b] >> a) & 1
+            total = total + jnp.where(vis == 1, view[a][b], 0)
+    return total
+
+
+def _rollout_kernel(
+    actions_ref,
+    grid_i,
+    cont_i,
+    sc_i,
+    mis_i,
+    cgrid_ref,
+    ccont_ref,
+    csc_ref,
+    cmis_ref,
+    grid_o,
+    cont_o,
+    sc_o,
+    mis_o,
+    used_o,
+    obs_o,
+    rew_o,
+    done_o,
+    *,
+    W,
+    H,
+    V,
+    T,
+    R,
+    see_through,
+    compute_obs,
+):
+    WH = W * H
+    g0 = grid_i[0]
+    c0 = cont_i[0]
+    sc0 = {r: sc_i[0, r] for r in range(NUM_SC)}
+    mis0 = mis_i[0]
+    S = sc0[ROW_AX].shape
+
+    def body(t, st):
+        g, c, sc_t, mis, used, obs_acc, rew_acc, done_acc = st
+        sc = {r: sc_t[r] for r in range(NUM_SC)}
+        action = actions_ref[0, t]
+
+        g, c, sc, reward = _step_block(g, c, sc, action, W=W, H=H)
+        done = (sc[ROW_TERM] | sc[ROW_TRUNC]) != 0
+        rew_acc = rew_acc + reward
+        done_acc = done_acc + done.astype(jnp.int32)
+
+        # Auto-reset from the cache (step_cached semantics,
+        # core/env.py:145-165).  Unconditional predicated blend: a
+        # ``lax.cond`` on "any env done" measures ~12% SLOWER than always
+        # blending (tools/perf_fused_ablate.py — the Mosaic branch costs more
+        # than the selects it skips).
+        fg, fc = cgrid_ref[0, 0], ccont_ref[0, 0]
+        fsc = {r: csc_ref[0, 0, r] for r in range(NUM_SC)}
+        fm = cmis_ref[0, 0]
+        for r in range(1, R):
+            take = used >= r
+            fg = jnp.where(take[None], cgrid_ref[0, r], fg)
+            fc = jnp.where(take[None], ccont_ref[0, r], fc)
+            for q in range(NUM_SC):
+                fsc[q] = jnp.where(take, csc_ref[0, r, q], fsc[q])
+            fm = jnp.where(take[None], cmis_ref[0, r], fm)
+        g = jnp.where(done[None], fg, g)
+        c = jnp.where(done[None], fc, c)
+        for q in range(NUM_SC):
+            sc[q] = jnp.where(done, fsc[q], sc[q])
+        mis = jnp.where(done[None], fm, mis)
+        sc_t = tuple(sc[r] for r in range(NUM_SC))
+        used = used + done.astype(jnp.int32)
+
+        if compute_obs:
+            obs_acc = obs_acc + _obs_checksum_block(
+                g, sc, W=W, H=H, V=V, see_through=see_through
+            )
+
+        return (g, c, sc_t, mis, used, obs_acc, rew_acc, done_acc)
+
+    zero = jnp.zeros(S, jnp.int32)
+    init = (
+        g0,
+        c0,
+        tuple(sc0[r] for r in range(NUM_SC)),
+        mis0,
+        zero,
+        zero,
+        jnp.zeros(S, jnp.float32),
+        zero,
+    )
+    g, c, sc_t, mis, used, obs_acc, rew_acc, done_acc = jax.lax.fori_loop(
+        0, T, body, init
+    )
+
+    grid_o[0] = g
+    cont_o[0] = c
+    for r in range(NUM_SC):
+        sc_o[0, r] = sc_t[r]
+    mis_o[0] = mis
+    used_o[0] = used
+    obs_o[0] = obs_acc
+    rew_o[0] = rew_acc
+    done_o[0] = done_acc
+
+
+def _to_env_tiles(x, Eb, E2):
+    """[N, ...rest] -> [Eb, ...rest, E2, 8, 128] (env axis into trailing tile)."""
+    rest = x.shape[1:]
+    y = x.reshape((Eb, E2, 8, 128) + rest)
+    perm = (0,) + tuple(range(4, 4 + len(rest))) + (1, 2, 3)
+    return y.transpose(perm)
+
+
+def _from_env_tiles(x):
+    """Inverse of _to_env_tiles: [Eb, ...rest, E2, 8, 128] -> [N, ...rest]."""
+    nrest = x.ndim - 4
+    perm = (0, nrest + 1, nrest + 2, nrest + 3) + tuple(range(1, nrest + 1))
+    y = x.transpose(perm)
+    return y.reshape((-1,) + y.shape[4:])
+
+
+def supports_fused(env) -> bool:
+    """True if this family's transition is exactly the default-hook core step
+    (the only thing the fused kernel implements)."""
+    from minigrid_tpu.core.env import MiniGridEnv
+
+    cls = type(env)
+    return (
+        cls._pre_step is MiniGridEnv._pre_step
+        and cls._post_step is MiniGridEnv._post_step
+        and cls._map_action is MiniGridEnv._map_action
+        and cls.observation is MiniGridEnv.observation
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5, 6))
+def fused_rollout(
+    env,
+    states,
+    key,
+    num_steps: int,
+    resets_per_chunk: int = 2,
+    compute_obs: bool = True,
+    interpret: bool | None = None,
+):
+    """Run ``num_steps`` random-policy steps via the fused kernel.
+
+    Returns ``(final_states, total_reward, episodes_finished, obs_checksum)``
+    with the same trajectory semantics as the reset-cache path of
+    ``rollout_random`` (parallel/vector.py): identical per-step transition,
+    auto-reset drawn from ``resets_per_chunk`` pre-generated levels per env.
+    The returned states carry a fresh fold of ``key`` as their rng (the
+    kernel does not thread the per-env key chain; default-hook families
+    never consume it mid-episode).
+    """
+    N = states.step_count.shape[0]
+    T = int(num_steps)
+    R = int(resets_per_chunk)
+    k_cache, k_act, k_rng = jax.random.split(key, 3)
+    cache = env.batch_reset_cache(k_cache, N, R)
+    actions = jax.random.randint(k_act, (T, N), 0, env.num_actions, jnp.int32)
+    final, total_r, total_done, obs_checksum = fused_rollout_core(
+        env, states, cache, actions, compute_obs, interpret
+    )
+    final = final.replace(
+        rng=jax.vmap(jax.random.fold_in, (None, 0))(k_rng, jnp.arange(N))
+    )
+    return final, total_r, total_done, obs_checksum
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5))
+def fused_rollout_core(
+    env,
+    states,
+    cache,
+    actions,
+    compute_obs: bool = True,
+    interpret: bool | None = None,
+):
+    """Fused kernel over explicit ``actions`` int32[T, N] and reset ``cache``
+    (leaves [N, R, ...]).  The returned states keep the INPUT rng unchanged
+    (callers re-key; see fused_rollout).  Exposed separately so tests can
+    drive the kernel and the XLA ``step_cached`` scan with identical inputs.
+    """
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    N = states.step_count.shape[0]
+    E2 = 2 if N % 2048 == 0 else 1
+    B = E2 * 1024
+    assert N % B == 0, f"fused_rollout requires num_envs % {B} == 0 (got {N})"
+    Eb = N // B
+    W, H = env.width, env.height
+    WH = W * H
+    V = env.agent_view_size
+    T = actions.shape[0]
+    R = jax.tree.leaves(cache)[0].shape[1]
+
+    S = (E2, 8, 128)
+
+    def sc_of(st):
+        rows = [
+            st.agent_x,
+            st.agent_y,
+            st.agent_dir,
+            st.carrying,
+            st.step_count,
+            st.max_steps,
+            st.terminated.astype(jnp.int32),
+            st.truncated.astype(jnp.int32),
+        ]
+        return jnp.stack(rows, axis=-1)  # [..., NUM_SC]
+
+    grid_b = _to_env_tiles(states.grid.reshape(N, WH), Eb, E2)
+    cont_b = _to_env_tiles(states.contains.reshape(N, WH), Eb, E2)
+    sc_b = _to_env_tiles(sc_of(states), Eb, E2)  # [Eb, NUM_SC, *S]
+    mis_b = _to_env_tiles(states.mission, Eb, E2)
+    act_b = actions.reshape(T, Eb, E2, 8, 128).transpose(1, 0, 2, 3, 4)
+
+    # Cache leaves are [N, R, ...] (core/env.py batch_reset_cache).
+    cg = _to_env_tiles(cache.grid.reshape(N, R, WH), Eb, E2)
+    cc = _to_env_tiles(cache.contains.reshape(N, R, WH), Eb, E2)
+    csc = _to_env_tiles(sc_of(cache), Eb, E2)  # [Eb, R, NUM_SC, *S]
+    cm = _to_env_tiles(cache.mission, Eb, E2)
+
+    def spec(*shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda e: (e,) + (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    kernel = partial(
+        _rollout_kernel,
+        W=W,
+        H=H,
+        V=V,
+        T=T,
+        R=R,
+        see_through=bool(env.see_through_walls),
+        compute_obs=bool(compute_obs),
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((Eb, WH) + S, jnp.int32),  # grid
+        jax.ShapeDtypeStruct((Eb, WH) + S, jnp.int32),  # contains
+        jax.ShapeDtypeStruct((Eb, NUM_SC) + S, jnp.int32),  # scalars
+        jax.ShapeDtypeStruct((Eb, MISSION_DIM) + S, jnp.int32),  # mission
+        jax.ShapeDtypeStruct((Eb,) + S, jnp.int32),  # used
+        jax.ShapeDtypeStruct((Eb,) + S, jnp.int32),  # obs checksum
+        jax.ShapeDtypeStruct((Eb,) + S, jnp.float32),  # reward sum
+        jax.ShapeDtypeStruct((Eb,) + S, jnp.int32),  # done count
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Eb,),
+        in_specs=[
+            spec(T, *S),
+            spec(WH, *S),
+            spec(WH, *S),
+            spec(NUM_SC, *S),
+            spec(MISSION_DIM, *S),
+            spec(R, WH, *S),
+            spec(R, WH, *S),
+            spec(R, NUM_SC, *S),
+            spec(R, MISSION_DIM, *S),
+        ],
+        out_specs=[
+            spec(WH, *S),
+            spec(WH, *S),
+            spec(NUM_SC, *S),
+            spec(MISSION_DIM, *S),
+            spec(*S),
+            spec(*S),
+            spec(*S),
+            spec(*S),
+        ],
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(act_b, grid_b, cont_b, sc_b, mis_b, cg, cc, csc, cm)
+
+    grid_f, cont_f, sc_f, mis_f, used_f, obs_f, rew_f, done_f = outs
+    sc = _from_env_tiles(sc_f)  # [N, NUM_SC]
+    final = states.replace(
+        grid=_from_env_tiles(grid_f).reshape(N, W, H),
+        contains=_from_env_tiles(cont_f).reshape(N, W, H),
+        agent_x=sc[:, ROW_AX],
+        agent_y=sc[:, ROW_AY],
+        agent_dir=sc[:, ROW_DIR],
+        carrying=sc[:, ROW_CARRY],
+        step_count=sc[:, ROW_STEP],
+        max_steps=sc[:, ROW_MAX],
+        terminated=sc[:, ROW_TERM] != 0,
+        truncated=sc[:, ROW_TRUNC] != 0,
+        mission=_from_env_tiles(mis_f),
+    )
+    total_r = _from_env_tiles(rew_f).sum()
+    total_done = _from_env_tiles(done_f).sum()
+    obs_checksum = _from_env_tiles(obs_f).sum()
+    return final, total_r, total_done, obs_checksum

@@ -31,8 +31,32 @@ class VectorEnv:
         return self._step(states, actions)
 
 
-@partial(jax.jit, static_argnums=(0, 3, 4))
-def rollout_random(env, states, key: jax.Array, num_steps: int, resets_per_chunk: int = 2):
+def fused_eligible(env, num_envs: int) -> bool:
+    """Whether the whole-rollout fused kernel (ops/fused_rollout.py) can run
+    this configuration: TPU backend, default-hook family, env count divisible
+    by the kernel block, and a grid small enough that a block's state +
+    reset cache fits VMEM."""
+    from minigrid_tpu.ops.fused_rollout import supports_fused
+
+    wh = env.width * env.height
+    return (
+        jax.devices()[0].platform == "tpu"
+        and supports_fused(env)
+        and num_envs % 1024 == 0
+        and num_envs >= 1024
+        and wh <= 144
+    )
+
+
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def rollout_random(
+    env,
+    states,
+    key: jax.Array,
+    num_steps: int,
+    resets_per_chunk: int = 2,
+    fused: bool | str = "auto",
+):
     """Scan ``num_steps`` uniform-random actions over a batch of states.
 
     Returns (final_states, total_reward, episodes_finished).  Used by the
@@ -42,8 +66,23 @@ def rollout_random(env, states, key: jax.Array, num_steps: int, resets_per_chunk
     For ``env.expensive_reset`` families the fused per-step regeneration is
     replaced by a per-chunk reset cache of ``resets_per_chunk`` pre-generated
     levels per env (identical step semantics; level draws amortized).
+
+    ``fused="auto"`` routes eligible configurations (see ``fused_eligible``)
+    through the whole-rollout Pallas kernel, which keeps every env's grid in
+    VMEM across the full step->reset->obs chain and uses the same per-chunk
+    reset cache (R = ``resets_per_chunk``) for ALL families it covers.
     """
     num_envs = states.step_count.shape[0]
+
+    if fused == "auto":
+        fused = fused_eligible(env, num_envs)
+    if fused:
+        from minigrid_tpu.ops.fused_rollout import fused_rollout
+
+        final, total_r, total_done, _ = fused_rollout(
+            env, states, key, num_steps, resets_per_chunk, compute_obs=False
+        )
+        return final, total_r, total_done
 
     if env.expensive_reset:
         key, k_cache = jax.random.split(key)

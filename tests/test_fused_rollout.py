@@ -1,0 +1,124 @@
+"""Fused whole-rollout kernel (ops/fused_rollout.py) vs the XLA
+``step_cached`` scan: identical inputs (initial states, reset cache, action
+stream) must produce the identical trajectory — final state bit-exact,
+reward/done totals equal, and the packed-obs checksum (the full-rank
+observation consumption) equal.
+
+Runs the kernel in Pallas interpret mode on the CPU backend (the TPU-compiled
+kernel is covered by the RUN_TPU_PERF lane and the driver's bench run).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import minigrid_tpu as mg
+from minigrid_tpu.core import obs as obs_mod
+from minigrid_tpu.ops.fused_rollout import fused_rollout_core, supports_fused
+
+STATE_FIELDS = [
+    "grid",
+    "contains",
+    "agent_x",
+    "agent_y",
+    "agent_dir",
+    "carrying",
+    "step_count",
+    "max_steps",
+    "terminated",
+    "truncated",
+    "mission",
+]
+
+
+def xla_reference(env, states, cache, actions):
+    """Scan of the exact semantics the kernel implements: step_cached +
+    packed-obs checksum of the post-reset state."""
+    num_envs = states.step_count.shape[0]
+
+    def checksum(s):
+        cells, vis = obs_mod.view_and_vis(
+            s, env.agent_view_size, env.see_through_walls
+        )
+        return jnp.where(vis, cells, 0).sum()
+
+    def body(carry, a):
+        st, used, tr, td, cs = carry
+        _, st, rew, term, trunc, used = jax.vmap(env.step_cached)(
+            st, a, cache, used
+        )
+        cs = cs + jax.vmap(checksum)(st).sum()
+        return (st, used, tr + rew.sum(), td + (term | trunc).sum(), cs), None
+
+    init = (
+        states,
+        jnp.zeros((num_envs,), jnp.int32),
+        jnp.float32(0),
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+    (st, used, tr, td, cs), _ = jax.lax.scan(body, init, actions)
+    return st, tr, td, cs
+
+
+def run_equivalence(env_id, n=1024, t=24, r=2, seed=0, **kwargs):
+    env = mg.make(env_id, **kwargs)
+    assert supports_fused(env), f"{env_id} should be fused-eligible"
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(key, 3)
+    _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k1, n))
+    cache = env.batch_reset_cache(k2, n, r)
+    actions = jax.random.randint(k3, (t, n), 0, env.num_actions, jnp.int32)
+
+    final, tr, td, cs = fused_rollout_core(
+        env, states, cache, actions, True, True  # interpret=True
+    )
+    st_ref, tr_r, td_r, cs_r = jax.jit(xla_reference, static_argnums=0)(
+        env, states, cache, actions
+    )
+
+    for name in STATE_FIELDS:
+        a = np.asarray(getattr(final, name))
+        b = np.asarray(getattr(st_ref, name))
+        np.testing.assert_array_equal(a, b, err_msg=f"{env_id}: {name}")
+    assert int(td) == int(td_r), f"{env_id}: done count"
+    assert int(cs) == int(cs_r), f"{env_id}: obs checksum"
+    np.testing.assert_allclose(float(tr), float(tr_r), rtol=1e-5)
+    return int(td_r)
+
+
+def test_fused_empty_with_truncation_resets():
+    # Short max_steps forces truncation + cache resets past slot R-1.
+    done = run_equivalence("MiniGrid-Empty-8x8-v0", t=24, max_steps=7)
+    assert done > 0
+
+
+def test_fused_empty_random_terminations():
+    # 5x5 random starts: random walks reach the goal (terminations + reward).
+    done = run_equivalence("MiniGrid-Empty-Random-5x5-v0", t=24, max_steps=9)
+    assert done > 0
+
+
+def test_fused_doorkey_interactions_and_occlusion():
+    # see_through_walls=False exercises the in-kernel occlusion flood;
+    # key pickup/drop/door toggles exercise the interaction writes.
+    run_equivalence("MiniGrid-DoorKey-5x5-v0", t=24, seed=3)
+
+
+def test_fused_lavacrossing():
+    run_equivalence("MiniGrid-LavaCrossingS9N1-v0", t=16, seed=1)
+
+
+def test_rollout_random_fused_flag_dispatch():
+    # On CPU, fused="auto" must fall back to the XLA path (and still run).
+    from minigrid_tpu.parallel.vector import fused_eligible, rollout_random
+
+    env = mg.make("MiniGrid-Empty-5x5-v0")
+    assert not fused_eligible(env, 1024)  # cpu backend in tests
+    key = jax.random.PRNGKey(0)
+    _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(key, 64))
+    states, total_r, total_done = rollout_random(env, states, key, 8)
+    assert states.step_count.shape == (64,)
