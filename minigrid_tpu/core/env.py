@@ -97,6 +97,14 @@ class MiniGridEnv:
     def observation(self, state: EnvState):
         return obs_lib.gen_obs(state, self.agent_view_size, self.see_through_walls)
 
+    def observation_packed(self, state: EnvState) -> jnp.ndarray:
+        """int32[v, v] packed view (learner-side observation; see
+        core/obs.gen_obs_packed).  ``unpack_grid`` of this equals
+        ``observation(state)["image"]`` exactly."""
+        return obs_lib.gen_obs_packed(
+            state, self.agent_view_size, self.see_through_walls
+        )
+
     def reset(self, key: jax.Array):
         state = self._generate(key)
         return self.observation(state), state

@@ -175,6 +175,19 @@ def view_and_vis(state, view_size: int, see_through_walls: bool):
     return cells, vis
 
 
+def gen_obs_packed(state, view_size: int, see_through_walls: bool) -> jnp.ndarray:
+    """int32[v, v] PACKED partial observation (type | color<<8 | state<<16).
+
+    Same pipeline as :func:`gen_obs_image` minus the final unpack to uint8
+    planes — invisible cells are 0 ("unseen").  This is the learner-side
+    observation: it is the pre-unpack value of the reference encoding, so
+    ``unpack_grid(gen_obs_packed(...)) == gen_obs_image(...)`` exactly, while
+    avoiding the layout-hostile size-3 minor dimension in stored rollouts.
+    """
+    cells, vis = view_and_vis(state, view_size, see_through_walls)
+    return jnp.where(vis, cells, 0)
+
+
 def gen_obs_image(state, view_size: int, see_through_walls: bool) -> jnp.ndarray:
     """uint8[v, v, 3] encoded partial observation.
 
@@ -183,8 +196,7 @@ def gen_obs_image(state, view_size: int, see_through_walls: bool) -> jnp.ndarray
     see_through_walls), overwrite the agent cell with the carried object (or
     empty), zero out invisible cells ("unseen" encoding).
     """
-    cells, vis = view_and_vis(state, view_size, see_through_walls)
-    return unpack_grid(jnp.where(vis, cells, 0))
+    return unpack_grid(gen_obs_packed(state, view_size, see_through_walls))
 
 
 def gen_obs(state, view_size: int, see_through_walls: bool):

@@ -105,23 +105,22 @@ def make_impala(env, config: IMPALAConfig = IMPALAConfig(), hidden: int = 256):
 
     def init_fn(key: jax.Array, num_envs: int) -> TrainState:
         k_param, k_env, k_loop = jax.random.split(key, 3)
-        obs, env_states = jax.vmap(env.reset)(jax.random.split(k_env, num_envs))
-        params = model.init(k_param, obs["image"][:1], obs["direction"][:1])
+        _, env_states = jax.vmap(env.reset)(jax.random.split(k_env, num_envs))
+        v = env.agent_view_size
+        packed = jax.vmap(lambda s: env.observation_packed(s).reshape(v * v))(env_states)
+        params = model.init(
+            k_param, packed[:1], env_states.agent_dir[:1], packed=True
+        )
         opt_state = tx.init(params)
         return TrainState(params, opt_state, env_states, k_loop)
 
-    def policy_apply(params, image, direction):
-        return model.apply(params, image, direction)
+    def policy_apply(params, packed_obs, direction):
+        return model.apply(params, packed_obs, direction, packed=True)
 
     def loss_fn(params, batch):
-        image, direction, action, behavior_logp, reward, done, boot_img, boot_dir = batch
-        v = env.agent_view_size
-        logits, values = policy_apply(
-            params, image.reshape(image.shape[:-1] + (v, v, 3)), direction
-        )
-        _, boot_value = policy_apply(
-            params, boot_img.reshape(boot_img.shape[:-1] + (v, v, 3)), boot_dir
-        )
+        obs, direction, action, behavior_logp, reward, done, boot_obs, boot_dir = batch
+        logits, values = policy_apply(params, obs, direction)
+        _, boot_value = policy_apply(params, boot_obs, boot_dir)
         logp_all = jax.nn.log_softmax(logits)
         target_logp = jnp.sum(
             jnp.where(
@@ -157,8 +156,9 @@ def make_impala(env, config: IMPALAConfig = IMPALAConfig(), hidden: int = 256):
             rollout_steps=config.rollout_steps,
             resets_per_chunk=config.resets_per_chunk,
         )
-        last_obs = jax.vmap(env.observation)(env_states)
-        last_img = last_obs["image"].reshape(last_obs["image"].shape[0], -1)
+        v = env.agent_view_size
+        last_packed = jax.vmap(lambda s: env.observation_packed(s).reshape(v * v))(env_states)
+        last_dir = env_states.agent_dir
 
         num_steps = config.rollout_steps
         assert num_steps % config.num_minibatches == 0, (
@@ -167,7 +167,7 @@ def make_impala(env, config: IMPALAConfig = IMPALAConfig(), hidden: int = 256):
         )
         mb_t = num_steps // config.num_minibatches
 
-        data = (traj.image, traj.direction, traj.action, traj.logp,
+        data = (traj.obs, traj.direction, traj.action, traj.logp,
                 traj.reward, traj.done)
 
         def run_epoch(carry, _):
@@ -181,13 +181,13 @@ def make_impala(env, config: IMPALAConfig = IMPALAConfig(), hidden: int = 256):
                 )
                 # Bootstrap obs for this window: the first obs of the next
                 # window, or the post-rollout obs for the final one.
-                boot_img = jnp.where(
+                boot_obs = jnp.where(
                     (b + 1) * mb_t < num_steps,
                     jax.lax.dynamic_index_in_dim(
-                        traj.image, jnp.minimum((b + 1) * mb_t, num_steps - 1),
+                        traj.obs, jnp.minimum((b + 1) * mb_t, num_steps - 1),
                         0, keepdims=False,
                     ),
-                    last_img,
+                    last_packed,
                 )
                 boot_dir = jnp.where(
                     (b + 1) * mb_t < num_steps,
@@ -195,10 +195,10 @@ def make_impala(env, config: IMPALAConfig = IMPALAConfig(), hidden: int = 256):
                         traj.direction, jnp.minimum((b + 1) * mb_t, num_steps - 1),
                         0, keepdims=False,
                     ),
-                    last_obs["direction"],
+                    last_dir,
                 )
                 grads, aux = jax.grad(loss_fn, has_aux=True)(
-                    params, sl + (boot_img, boot_dir)
+                    params, sl + (boot_obs, boot_dir)
                 )
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)

@@ -57,15 +57,60 @@ def embed_obs(image: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([feats, dir_oh], axis=-1)
 
 
+def embed_obs_packed(packed: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
+    """int32[..., v*v] PACKED view + int32[...] -> bf16[..., F] features.
+
+    Produces EXACTLY the same feature vector as :func:`embed_obs` on the
+    unpacked uint8 image (the one-hot tables are identical), but from the
+    learner-side packed observation (core/obs.gen_obs_packed): the type /
+    color / state planes come from bit-field extraction on a flat [.., v*v]
+    int32 tensor, so the rollout storage and the update path never touch a
+    size-3 minor dimension or a uint8<->int32 unpack round-trip.
+    """
+    v2 = packed.shape[-1]
+    lead = packed.shape[:-1]
+    p = jnp.asarray(packed, jnp.int32)
+    t, c, s = p & 0xFF, (p >> 8) & 0xFF, (p >> 16) & 0xFF
+
+    def rep(x):  # [.., v2] -> [.., v2*K] (broadcast+reshape, no gather)
+        return jnp.broadcast_to(
+            x[..., None], lead + (v2, _PER_CELL)
+        ).reshape(lead + (v2 * _PER_CELL,))
+
+    o = jnp.arange(v2 * _PER_CELL, dtype=jnp.int32) % _PER_CELL
+    feats = jnp.where(
+        o < NUM_OBJECTS,
+        rep(t) == o,
+        jnp.where(
+            o < NUM_OBJECTS + NUM_COLORS,
+            rep(c) == o - NUM_OBJECTS,
+            rep(jnp.clip(s, 0, 2)) == o - NUM_OBJECTS - NUM_COLORS,
+        ),
+    ).astype(jnp.bfloat16)
+    dir_oh = (
+        jnp.asarray(direction, jnp.int32)[..., None]
+        == jnp.arange(4, dtype=jnp.int32)
+    ).astype(jnp.bfloat16)
+    return jnp.concatenate([feats, dir_oh], axis=-1)
+
+
 class ActorCritic(nn.Module):
-    """MLP torso with policy and value heads; bf16 compute, f32 params."""
+    """MLP torso with policy and value heads; bf16 compute, f32 params.
+
+    ``image`` may be the reference uint8 (v, v, 3) encoding (API surface) or
+    the packed int32 [v*v] learner observation (``packed=True``) — both embed
+    to the identical feature vector, so parameters are interchangeable.
+    """
 
     hidden: int = 256
     num_actions: int = NUM_ACTIONS
 
     @nn.compact
-    def __call__(self, image: jnp.ndarray, direction: jnp.ndarray):
-        x = embed_obs(image, direction).astype(jnp.bfloat16)
+    def __call__(self, image: jnp.ndarray, direction: jnp.ndarray, packed: bool = False):
+        if packed:
+            x = embed_obs_packed(image, direction)
+        else:
+            x = embed_obs(image, direction).astype(jnp.bfloat16)
         x = nn.Dense(self.hidden, dtype=jnp.bfloat16)(x)
         x = nn.relu(x)
         x = nn.Dense(self.hidden, dtype=jnp.bfloat16)(x)

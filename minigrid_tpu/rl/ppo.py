@@ -72,13 +72,17 @@ def make_ppo(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
 
     def init_fn(key: jax.Array, num_envs: int) -> TrainState:
         k_param, k_env, k_loop = jax.random.split(key, 3)
-        obs, env_states = jax.vmap(env.reset)(jax.random.split(k_env, num_envs))
-        params = model.init(k_param, obs["image"][:1], obs["direction"][:1])
+        _, env_states = jax.vmap(env.reset)(jax.random.split(k_env, num_envs))
+        v = env.agent_view_size
+        packed = jax.vmap(lambda s: env.observation_packed(s).reshape(v * v))(env_states)
+        params = model.init(
+            k_param, packed[:1], env_states.agent_dir[:1], packed=True
+        )
         opt_state = tx.init(params)
         return TrainState(params, opt_state, env_states, k_loop)
 
-    def policy_apply(params, image, direction):
-        return model.apply(params, image, direction)
+    def policy_apply(params, packed_obs, direction):
+        return model.apply(params, packed_obs, direction, packed=True)
 
     def rollout(params, env_states, key):
         # Shared collector (rl/rollout.py): lax.scan over time, auto-reset
@@ -107,10 +111,8 @@ def make_ppo(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
         return advs
 
     def loss_fn(params, batch):
-        image, direction, action, old_logp, adv, target = batch
-        v = env.agent_view_size
-        image = image.reshape(image.shape[:-1] + (v, v, 3))
-        logits, value = policy_apply(params, image, direction)
+        obs, direction, action, old_logp, adv, target = batch
+        logits, value = policy_apply(params, obs, direction)
         logp_all = jax.nn.log_softmax(logits)
         logp = jnp.sum(
             jnp.where(
@@ -131,9 +133,10 @@ def make_ppo(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
 
     def train_step(state: TrainState):
         env_states, key, traj = rollout(state.params, state.env_states, state.key)
-        image, direction, action, logp, value, reward, done = traj
-        last_obs = jax.vmap(env.observation)(env_states)
-        _, last_value = policy_apply(state.params, last_obs["image"], last_obs["direction"])
+        obs, direction, action, logp, value, reward, done = traj
+        v = env.agent_view_size
+        last_obs = jax.vmap(lambda s: env.observation_packed(s).reshape(v * v))(env_states)
+        _, last_value = policy_apply(state.params, last_obs, env_states.agent_dir)
         adv = gae(value, reward, done, last_value)
         target = adv + value
         # Minibatches are CONTIGUOUS TIME slices of the time-major trajectory:
@@ -146,8 +149,8 @@ def make_ppo(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
         # data axis stays sharded through the whole update (env-axis slices
         # would straddle shards and make XLA all-gather the trajectory;
         # measured 6.5x slower at 8 devices).
-        data = (image, direction, action, logp, adv, target)
-        num_steps = image.shape[0]
+        data = (obs, direction, action, logp, adv, target)
+        num_steps = obs.shape[0]
         assert num_steps % config.num_minibatches == 0, (
             f"rollout_steps={num_steps} must divide into "
             f"num_minibatches={config.num_minibatches} (time-axis slicing)"

@@ -2,10 +2,13 @@
 
 One ``lax.scan`` over time with auto-reset fused (or the per-chunk reset
 cache for expensive-reset families); used by both the PPO and IMPALA
-learners.  Trajectories are stored time-major with the observation image
-flattened to [T, N, v*v*3] — a stacked [T, N, 7, 7, 3] uint8 tensor tiles
-its (7, 3) minor dims to (8, 128) on TPU, a ~43x physical blowup written
-every rollout (see rl/ppo.py round-2 notes).
+learners.  Trajectories are stored time-major with the observation as the
+PACKED int32 [T, N, v*v] view (core/obs.gen_obs_packed): a stacked
+[T, N, 7, 7, 3] uint8 tensor tiles its (7, 3) minor dims to (32, 128) on
+TPU — a huge physical blowup written every rollout — while the packed form
+is a flat, fully lane-utilized int32 plane that also skips the
+uint8<->int32 unpack/repack round-trip in the update (rl/model.py
+embed_obs_packed produces bit-identical features).
 """
 
 from __future__ import annotations
@@ -17,7 +20,7 @@ import jax.numpy as jnp
 
 
 class Trajectory(NamedTuple):
-    image: jnp.ndarray  # uint8[T, N, v*v*3]
+    obs: jnp.ndarray  # int32[T, N, v*v] packed view
     direction: jnp.ndarray  # int32[T, N]
     action: jnp.ndarray  # int32[T, N]
     logp: jnp.ndarray  # f32[T, N] — behavior-policy log prob
@@ -35,8 +38,14 @@ def collect_trajectory(
     rollout_steps: int,
     resets_per_chunk: int = 2,
 ):
-    """Scan ``rollout_steps`` policy steps; returns (env_states, key, Trajectory)."""
+    """Scan ``rollout_steps`` policy steps; returns (env_states, key, Trajectory).
+
+    ``policy_apply(params, packed_obs, direction)`` consumes the packed
+    int32 [N, v*v] observation.
+    """
     num_envs = env_states.step_count.shape[0]
+    v = env.agent_view_size
+    obs_packed = jax.vmap(lambda s: env.observation_packed(s).reshape(v * v))
     if env.expensive_reset:
         key, k_cache = jax.random.split(key)
         cache = env.batch_reset_cache(k_cache, num_envs, resets_per_chunk)
@@ -45,8 +54,9 @@ def collect_trajectory(
     def body(carry, _):
         env_states, used, key = carry
         key, k_act = jax.random.split(key)
-        obs = jax.vmap(env.observation)(env_states)
-        logits, value = policy_apply(params, obs["image"], obs["direction"])
+        obs = obs_packed(env_states)
+        direction = env_states.agent_dir
+        logits, value = policy_apply(params, obs, direction)
         action = jax.random.categorical(k_act, logits)
         # One-hot contraction instead of a [N]-row gather (tiny-row gathers
         # are ~5x slower than a fused masked reduce on TPU).
@@ -67,10 +77,7 @@ def collect_trajectory(
                 env_states, action
             )
         done = terminated | truncated
-        img_flat = obs["image"].reshape(num_envs, -1)
-        traj = Trajectory(
-            img_flat, obs["direction"], action, logp, value, reward, done
-        )
+        traj = Trajectory(obs, direction, action, logp, value, reward, done)
         return (env_states, used, key), traj
 
     (env_states, _, key), traj = jax.lax.scan(
