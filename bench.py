@@ -94,13 +94,16 @@ def _wfc_levels_per_sec(batch: int = 64, reps: int = 3):
         return None
 
 
-def _scaling_efficiency():
-    """Virtual-mesh partitioning efficiency, measured in a CPU subprocess
-    (tools/perf_scaling.py) so jax state and TPU timings stay clean."""
+def _scaling_efficiency(ppo_step_seconds: float | None):
+    """Structural partitioning analysis in a CPU subprocess
+    (tools/perf_scaling.py): collective inventory of the partitioned HLO +
+    modeled efficiency from the live single-chip PPO step time."""
     script = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools", "perf_scaling.py")
     env = dict(os.environ)
     env.update({"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
                 "SCALING_NUM_ENVS": "1024", "SCALING_NUM_STEPS": "32"})
+    if ppo_step_seconds is not None:
+        env["SCALING_PPO_STEP_SECONDS"] = str(ppo_step_seconds)
     try:
         out = subprocess.run(
             [sys.executable, script], env=env, capture_output=True, text=True,
@@ -237,11 +240,15 @@ def main():
     if wfc is not None:
         result["wfc_mazesimple_levels_per_sec"] = round(wfc, 2)
 
-    scaling = _scaling_efficiency()
+    scaling = _scaling_efficiency(8192 * 128 / ppo if ppo else None)
     if scaling is not None:
         result["scaling_efficiency"] = scaling["scaling_efficiency"]
-        result["scaling_curve_rollout"] = scaling["rollout"]
-        result["scaling_curve_ppo"] = scaling["ppo"]
+        result["scaling_collective_bytes"] = {
+            "rollout": scaling["rollout_collective_bytes"],
+            "ppo": scaling["ppo_collective_bytes"],
+            "params": scaling["param_bytes"],
+        }
+        result["scaling_unexpected_collectives"] = scaling["unexpected_collectives"]
 
     print(json.dumps(result))
 
