@@ -37,13 +37,16 @@ except ImportError:  # pragma: no cover
 class GymnasiumMiniGrid(_EnvBase):
     """``gymnasium.Env`` adapter over a functional env family."""
 
-    metadata = {"render_modes": ["rgb_array"], "render_fps": 10}
+    metadata = {"render_modes": ["human", "rgb_array"], "render_fps": 10}
 
     def __init__(
         self,
         env,
         render_mode: str | None = None,
         tile_size: int = 32,
+        screen_size: int = 640,
+        highlight: bool = True,
+        agent_pov: bool = False,
         parity: bool = False,
     ):
         import gymnasium as gym
@@ -51,6 +54,13 @@ class GymnasiumMiniGrid(_EnvBase):
         self.env = env
         self.render_mode = render_mode
         self.tile_size = tile_size
+        self.screen_size = screen_size
+        self.highlight = highlight
+        self.agent_pov = agent_pov
+        # pygame window state for render_mode="human"
+        # (reference: minigrid/minigrid_env.py:89-92).
+        self.window = None
+        self.clock = None
         self.state = None
         self._episode = 0
         self._base_seed = 0
@@ -62,7 +72,9 @@ class GymnasiumMiniGrid(_EnvBase):
         self._reset_fn = jax.jit(env.reset)
         self._step_fn = jax.jit(env.step_env)
         self._frame_fn = jax.jit(
-            lambda s: env.get_frame(s, tile_size=tile_size)
+            lambda s: env.get_frame(
+                s, highlight=highlight, tile_size=tile_size, agent_pov=agent_pov
+            )
         )
 
         v = env.agent_view_size
@@ -95,6 +107,8 @@ class GymnasiumMiniGrid(_EnvBase):
             else:
                 obs = self._parity_roll.reset(seed=seed)
             self.state = self._parity_roll.state
+            if self.render_mode == "human":
+                self.render()
             return self._convert_obs(obs), {}
         if seed is not None:
             self._base_seed = seed
@@ -104,6 +118,10 @@ class GymnasiumMiniGrid(_EnvBase):
         )
         self._episode += 1
         obs, self.state = self._reset_fn(key)
+        # Reference opens/refreshes the pygame window on reset in human mode
+        # (minigrid/minigrid_env.py:151-152).
+        if self.render_mode == "human":
+            self.render()
         return self._convert_obs(obs), {}
 
     def step(self, action):
@@ -111,9 +129,14 @@ class GymnasiumMiniGrid(_EnvBase):
         if self.parity:
             obs, reward, terminated, truncated = self._parity_roll.step(int(action))
             self.state = self._parity_roll.state
+            if self.render_mode == "human":
+                self.render()
             return self._convert_obs(obs), float(reward), terminated, truncated, {}
         self.state, reward = self._step_fn(self.state, int(action))
         obs = self.env.observation(self.state)
+        # Reference renders every step in human mode (minigrid_env.py:590-591).
+        if self.render_mode == "human":
+            self.render()
         return (
             self._convert_obs(obs),
             float(reward),
@@ -125,10 +148,61 @@ class GymnasiumMiniGrid(_EnvBase):
     def render(self):
         if self.state is None:
             return None
-        return np.asarray(self._frame_fn(self.state))
+        img = np.asarray(self._frame_fn(self.state))
+        if self.render_mode == "human":
+            self._render_human(img)
+            return None
+        return img
+
+    def _render_human(self, img: np.ndarray) -> None:
+        """Live pygame window with the mission caption — the reference's
+        human-mode path (minigrid/minigrid_env.py:744-782): transpose to
+        pygame's (x, y) surface layout, white margin, mission text centered
+        near the bottom, smoothscale to ``screen_size``, clock.tick at
+        ``metadata["render_fps"]``."""
+        import pygame
+        import pygame.freetype
+
+        img = np.transpose(img, axes=(1, 0, 2))
+        if self.window is None:
+            pygame.init()
+            pygame.display.init()
+            self.window = pygame.display.set_mode(
+                (self.screen_size, self.screen_size)
+            )
+            pygame.display.set_caption("minigrid")
+        if self.clock is None:
+            self.clock = pygame.time.Clock()
+        surf = pygame.surfarray.make_surface(img)
+
+        offset = surf.get_size()[0] * 0.1
+        bg = pygame.Surface(
+            (int(surf.get_size()[0] + offset), int(surf.get_size()[1] + offset))
+        )
+        bg.convert()
+        bg.fill((255, 255, 255))
+        bg.blit(surf, (offset / 2, 0))
+        bg = pygame.transform.smoothscale(bg, (self.screen_size, self.screen_size))
+
+        font_size = 22
+        text = self.mission
+        font = pygame.freetype.SysFont(pygame.font.get_default_font(), font_size)
+        text_rect = font.get_rect(text, size=font_size)
+        text_rect.center = bg.get_rect().center
+        text_rect.y = bg.get_height() - font_size * 1.5
+        font.render_to(bg, text_rect, text, size=font_size)
+
+        self.window.blit(bg, (0, 0))
+        pygame.event.pump()
+        self.clock.tick(self.metadata["render_fps"])
+        pygame.display.flip()
 
     def close(self):
-        pass
+        if self.window is not None:
+            import pygame
+
+            pygame.quit()
+            self.window = None
 
     @property
     def unwrapped(self):
@@ -258,10 +332,19 @@ def gym_make(
 ):
     """``gym.make``-alike returning the adapter directly.
 
+    Display kwargs (``tile_size``/``screen_size``/``highlight``/``agent_pov``,
+    the reference's MiniGridEnv ctor surface, minigrid_env.py:34-48) go to the
+    adapter; everything else goes to the env family constructor.
     ``parity=True`` makes ``reset(seed=s)`` reproduce the reference's episode
     for ``s`` bit-exactly (see minigrid_tpu/compat/parity.py)."""
+    shim_kwargs = {
+        k: kwargs.pop(k)
+        for k in ("tile_size", "screen_size", "highlight", "agent_pov")
+        if k in kwargs
+    }
     return GymnasiumMiniGrid(
-        make(env_id, **kwargs), render_mode=render_mode, parity=parity
+        make(env_id, **kwargs), render_mode=render_mode, parity=parity,
+        **shim_kwargs,
     )
 
 
