@@ -19,6 +19,12 @@ class FourRoomsEnv(MiniGridEnv):
     """Classic four-rooms layout: 2x2 rooms with one randomly placed gap per
     inter-room wall (reference: minigrid/envs/fourrooms.py:79-127)."""
 
+    # Per-step fused autoreset would regenerate the 19x19 layout (wall
+    # masks + two rejection placements over 361 cells) every step for every
+    # env; at max_steps=100 that generation dominated the rollout (22.9M
+    # steps/s measured round 3).  The reset cache amortizes it per chunk.
+    expensive_reset = True
+
     def __init__(
         self,
         agent_pos: tuple[int, int] | None = None,

@@ -477,7 +477,12 @@ def fused_rollout_core(
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     N = states.step_count.shape[0]
-    E2 = 2 if N % 2048 == 0 else 1
+    W_, H_ = env.width, env.height
+    # Block size is VMEM-budgeted: state + contains + R-slot reset cache is
+    # ~(2 + 2R) * WH * B * 4 bytes; a 2048-env block fits comfortably up to
+    # ~12x12 grids, larger grids (FourRooms/LockedRoom, 19x19) drop to
+    # 1024-env blocks (~9 MB at R=2) to stay inside the ~16 MB VMEM core.
+    E2 = 2 if (N % 2048 == 0 and W_ * H_ <= 144) else 1
     B = E2 * 1024
     assert N % B == 0, f"fused_rollout requires num_envs % {B} == 0 (got {N})"
     Eb = N // B
@@ -539,8 +544,16 @@ def fused_rollout_core(
         jax.ShapeDtypeStruct((Eb,) + S, jnp.float32),  # reward sum
         jax.ShapeDtypeStruct((Eb,) + S, jnp.int32),  # done count
     ]
+    # State + contains + R-slot cache is (2 + 2R) * WH * B * 4 bytes, and
+    # Pallas double-buffers input blocks across grid steps; large grids
+    # (FourRooms 19x19) exceed the compiler's default 16 MB scoped-VMEM cap,
+    # so raise the cap to what the block actually needs (v5e VMEM is 128 MB).
+    vmem_limit = max(
+        16 * 1024 * 1024, int((2 + 2 * R) * WH * B * 4 * 3.2) + 6 * 1024 * 1024
+    )
     outs = pl.pallas_call(
         kernel,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         grid=(Eb,),
         in_specs=[
             spec(T, *S),

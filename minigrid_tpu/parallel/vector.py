@@ -44,7 +44,8 @@ def fused_eligible(env, num_envs: int) -> bool:
         and supports_fused(env)
         and num_envs % 1024 == 0
         and num_envs >= 1024
-        and wh <= 144
+        and wh <= 361  # 19x19 fits a 1024-env block's VMEM budget (see
+        # fused_rollout_core's E2 choice); MultiRoom-scale 25x25 does not.
     )
 
 

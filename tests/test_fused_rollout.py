@@ -112,6 +112,14 @@ def test_fused_lavacrossing():
     run_equivalence("MiniGrid-LavaCrossingS9N1-v0", t=16, seed=1)
 
 
+def test_fused_fourrooms_large_grid_block():
+    # 19x19 = 361 cells exercises the 1024-env (E2=1) block path and the
+    # raised VMEM budget (fused_rollout_core's block-size choice); short
+    # max_steps forces truncation resets through the cache.
+    done = run_equivalence("MiniGrid-FourRooms-v0", t=12, max_steps=10, seed=5)
+    assert done > 0
+
+
 def test_rollout_random_fused_flag_dispatch():
     # On CPU, fused="auto" must fall back to the XLA path (and still run).
     from minigrid_tpu.parallel.vector import fused_eligible, rollout_random
