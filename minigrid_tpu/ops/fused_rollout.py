@@ -187,13 +187,14 @@ def _step_block(g, c, sc, action, *, W, H):
     return g, c, out, reward
 
 
-def _obs_checksum_block(g, sc, *, W, H, V, see_through):
-    """Packed-obs checksum for a block: sum over the V x V agent view of the
-    visible packed cells (agent slot overridden with the carried object).
+def _view_bits_block(g, sc, *, W, H, V, see_through):
+    """Agent view for a block: ``view[i][j]`` packed cells (agent slot
+    overridden with the carried object) plus per-row visibility bitmasks
+    ``bits`` (``None`` when ``see_through`` — everything visible).
 
     Direction-folded separable extraction (port of core/obs.py:55-105) and
     the bit-parallel occlusion flood (core/obs.py:108-154), both expressed on
-    the dense env-tile layout.
+    the dense block layout (env axis = trailing dims, any tiling).
     """
     ax, ay, d, carry = sc[ROW_AX], sc[ROW_AY], sc[ROW_DIR], sc[ROW_CARRY]
     S = ax.shape
@@ -249,11 +250,7 @@ def _obs_checksum_block(g, sc, *, W, H, V, see_through):
     view[V // 2][V - 1] = agent_cell
 
     if see_through:
-        total = jnp.zeros(S, jnp.int32)
-        for a in range(V):
-            for b in range(V):
-                total = total + view[a][b]
-        return total
+        return view, None
 
     # Bit-parallel occlusion flood (core/obs.py:108-154): per-row int32
     # bitmasks, closed-form rightward carry flood, v-1 leftward spreads.
@@ -287,11 +284,32 @@ def _obs_checksum_block(g, sc, *, W, H, V, see_through):
         bits[j] = m_l
         up = new_up | cond_l | (cond_l >> 1)
 
-    total = jnp.zeros(S, jnp.int32)
+    return view, bits
+
+
+def packed_view_block(g, sc, *, W, H, V, see_through):
+    """Packed observation per view slot (gen_obs_packed semantics,
+    core/obs.py:178-188): ``out[i][j]`` = visible packed cell, 0 when
+    occluded.  Shared by the checksum below and the actor kernel."""
+    view, bits = _view_bits_block(g, sc, W=W, H=H, V=V, see_through=see_through)
+    if bits is None:
+        return view
+    out = [[None] * V for _ in range(V)]
     for a in range(V):
         for b in range(V):
             vis = (bits[b] >> a) & 1
-            total = total + jnp.where(vis == 1, view[a][b], 0)
+            out[a][b] = jnp.where(vis == 1, view[a][b], 0)
+    return out
+
+
+def _obs_checksum_block(g, sc, *, W, H, V, see_through):
+    """Sum of the visible packed view cells (full-rank obs consumption)."""
+    pv = packed_view_block(g, sc, W=W, H=H, V=V, see_through=see_through)
+    S = sc[ROW_AX].shape
+    total = jnp.zeros(S, jnp.int32)
+    for a in range(V):
+        for b in range(V):
+            total = total + pv[a][b]
     return total
 
 

@@ -41,6 +41,10 @@ def fused_eligible(env, num_envs: int) -> bool:
     wh = env.width * env.height
     return (
         jax.devices()[0].platform == "tpu"
+        # Single-device only: XLA's SPMD partitioner cannot partition the
+        # custom call; sharded multi-chip rollouts use the XLA scan (or wrap
+        # the kernel in shard_map on a pod).
+        and jax.device_count() == 1
         and supports_fused(env)
         and num_envs % 1024 == 0
         and num_envs >= 1024

@@ -155,6 +155,7 @@ def make_impala(env, config: IMPALAConfig = IMPALAConfig(), hidden: int = 256):
             key=state.key,
             rollout_steps=config.rollout_steps,
             resets_per_chunk=config.resets_per_chunk,
+            fused_actor=True,  # policy_apply IS the standard packed forward
         )
         v = env.agent_view_size
         last_packed = jax.vmap(lambda s: env.observation_packed(s).reshape(v * v))(env_states)

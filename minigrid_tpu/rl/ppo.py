@@ -91,6 +91,7 @@ def make_ppo(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
         return collect_trajectory(
             env, policy_apply, params, env_states, key,
             config.rollout_steps, config.resets_per_chunk,
+            fused_actor=True,  # policy_apply IS the standard packed forward
         )
 
     def gae(values, rewards, dones, last_value):

@@ -37,13 +37,35 @@ def collect_trajectory(
     key: jax.Array,
     rollout_steps: int,
     resets_per_chunk: int = 2,
+    fused_actor: bool = False,
 ):
     """Scan ``rollout_steps`` policy steps; returns (env_states, key, Trajectory).
 
     ``policy_apply(params, packed_obs, direction)`` consumes the packed
     int32 [N, v*v] observation.
+
+    ``fused_actor=True`` (set by the learners, whose ``policy_apply`` IS the
+    standard ActorCritic packed forward) routes eligible configurations
+    through the whole-collection Pallas kernel (ops/actor_rollout.py): the
+    env state, reset cache and actor weights stay VMEM-resident across all
+    ``rollout_steps`` and the per-step policy matmuls run on the MXU inside
+    the kernel; only the trajectory streams to HBM.  Same step_cached
+    semantics; action sampling is the same Gumbel-argmax construction as
+    ``jax.random.categorical`` on the TPU core PRNG.
     """
     num_envs = env_states.step_count.shape[0]
+    if fused_actor:
+        from minigrid_tpu.ops.actor_rollout import (
+            fused_actor_rollout,
+            supports_fused_actor,
+        )
+
+        if supports_fused_actor(env, num_envs):
+            key, k_roll = jax.random.split(key)
+            env_states, traj = fused_actor_rollout(
+                env, params, env_states, k_roll, rollout_steps, resets_per_chunk
+            )
+            return env_states, key, Trajectory(**traj)
     v = env.agent_view_size
     obs_packed = jax.vmap(lambda s: env.observation_packed(s).reshape(v * v))
     if env.expensive_reset:
