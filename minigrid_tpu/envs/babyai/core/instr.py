@@ -9,10 +9,16 @@ verifier.py:49-566).  Here an instruction is a fixed-slot pytree:
   x/y either Action or And;
 * each leaf has up to 2 object descriptors (PutNext uses both);
 * object identity tracking (the reference's ``obj_set``/``obj_poss``,
-  verifier.py:104-169) becomes per-descriptor boolean planes: ``gridm`` marks
-  cells currently holding a tracked object, ``poss`` is the verifier-visible
+  verifier.py:104-169) becomes per-descriptor cell masks BIT-PACKED into one
+  int32[W, H] plane each (bit ``leaf*2 + slot``): ``gridm`` marks cells
+  currently holding a tracked object, ``poss`` is the verifier-visible
   position set (updated only on drop actions, mirroring
   roomgrid_level.py:89-91), and ``carried`` flags a tracked object in hand.
+  Packing all 8 (leaf, slot) masks into one plane makes every per-step
+  bookkeeping op (pickup/drop/box updates, forward-cell membership, the
+  PutNext dilation — OR distributes over bits) a single int32 plane op
+  instead of eight boolean-plane ops, and shrinks the verifier state that
+  rides through every auto-reset blend and reset cache by 8 planes -> 2.
 
 Statuses: 0 continue, 1 success, 2 failure.
 
@@ -88,9 +94,9 @@ class InstrState:
     d_color: jnp.ndarray  # i32[4, 2] (-1 none)
     d_loc: jnp.ndarray  # i32[4, 2] (-1 none)
     d_plural: jnp.ndarray  # bool[4, 2] (|obj_set| > 1 at reset, for surface text)
-    # -- tracking state --
-    poss: jnp.ndarray  # bool[4, 2, W, H]
-    gridm: jnp.ndarray  # bool[4, 2, W, H]
+    # -- tracking state (bit ``leaf*2 + slot`` of each int32 cell) --
+    poss: jnp.ndarray  # i32[W, H] packed
+    gridm: jnp.ndarray  # i32[W, H] packed
     carried: jnp.ndarray  # bool[4, 2]
     # -- per-leaf verifier memory (the reference's preCarrying, updated only
     #    when the leaf's verify is *called*) --
@@ -119,8 +125,8 @@ def empty_instr(width: int, height: int, done_mode: bool | None = None) -> Instr
         d_color=jnp.full((4, 2), -1, jnp.int32),
         d_loc=jnp.full((4, 2), -1, jnp.int32),
         d_plural=jnp.zeros((4, 2), bool),
-        poss=jnp.zeros((4, 2, width, height), bool),
-        gridm=jnp.zeros((4, 2, width, height), bool),
+        poss=jnp.zeros((width, height), jnp.int32),
+        gridm=jnp.zeros((width, height), jnp.int32),
         carried=jnp.zeros((4, 2), bool),
         pre_none=jnp.ones((4,), bool),
         pre_move_tracked=jnp.zeros((4,), bool),
@@ -130,6 +136,27 @@ def empty_instr(width: int, height: int, done_mode: bool | None = None) -> Instr
         b_succ=jnp.asarray(False),
         sub_succ=jnp.zeros((4,), bool),
     )
+
+
+_BIT = jnp.arange(4, dtype=jnp.int32)[:, None] * 2 + jnp.arange(2, dtype=jnp.int32)
+
+
+def unpack_slots(bits) -> jnp.ndarray:
+    """int32 scalar (or [...]-shaped) packed slot bits -> bool[..., 4, 2]."""
+    b = jnp.asarray(bits, jnp.int32)
+    return ((b[..., None, None] >> _BIT) & 1) != 0
+
+
+def pack_slots(flags: jnp.ndarray) -> jnp.ndarray:
+    """bool[..., 4, 2] -> packed int32[...]."""
+    return jnp.sum(
+        jnp.where(flags, jnp.int32(1) << _BIT, 0), axis=(-2, -1)
+    ).astype(jnp.int32)
+
+
+def tracked_plane(bits: jnp.ndarray, leaf: int, d: int) -> jnp.ndarray:
+    """bool[W, H] mask of slot (leaf, d) from a packed plane."""
+    return ((bits >> (leaf * 2 + d)) & 1) != 0
 
 
 def desc_match_mask(
@@ -208,8 +235,13 @@ def _leaf_statuses(instr: InstrState, prev_state, state, action, fmask_prev):
     carrying_now = carry_type(state.carrying) != 0
     dropped = (carry_type(prev_state.carrying) != 0) & ~carrying_now
 
-    at_fwd_prev = jnp.any(instr.gridm & fmask_prev, axis=(-2, -1))  # [4, 2]
-    poss_at_now = jnp.any(instr.poss & fmask_now, axis=(-2, -1))  # [4, 2]
+    # Packed planes: the forward cell's slot membership is ONE masked
+    # max-reduce per plane, unpacked to [4, 2] flags.
+    at_fwd_prev = unpack_slots(jnp.max(jnp.where(fmask_prev, instr.gridm, 0)))
+    poss_at_now = unpack_slots(jnp.max(jnp.where(fmask_now, instr.poss, 0)))
+    # PutNext's "next to a tracked fixed position": 4-dilation distributes
+    # over the packed bits (it is an OR of shifted planes).
+    near_bits = unpack_slots(jnp.max(jnp.where(fmask_now, _dilate4(instr.poss), 0)))
 
     statuses = []
     for leaf in range(4):
@@ -234,7 +266,7 @@ def _leaf_statuses(instr: InstrState, prev_state, state, action, fmask_prev):
         pickup_fail = strict & (a == Actions.pickup) & carrying_now & ~pickup_succ
         # PUTNEXT (verifier.py:409-433): successful drop of a tracked move
         # object next to a tracked fixed position (poss updated pre-verify).
-        near_fixed = jnp.any(_dilate4(instr.poss[leaf, 1]) & fmask_now)
+        near_fixed = near_bits[leaf, 1]
         put_succ = (
             (a == Actions.drop) & dropped & instr.pre_move_tracked[leaf] & near_fixed
         )
@@ -301,15 +333,15 @@ def verify_step(instr: InstrState, prev_state, state, action):
 
     gridm = instr.gridm
     carried = instr.carried
-    at_fwd = jnp.any(gridm & fmask_prev, axis=(-2, -1))  # [4, 2]
+    at_fwd = unpack_slots(jnp.max(jnp.where(fmask_prev, gridm, 0)))  # [4, 2]
     # pickup: a tracked object leaves the grid into the hand.
     carried = jnp.where(picked, carried | at_fwd, carried)
-    gridm = jnp.where(picked & fmask_prev, False, gridm)
+    gridm = jnp.where(picked & fmask_prev, 0, gridm)
     # drop: the held tracked object reappears at fwd.
-    gridm = jnp.where(dropped & carried[:, :, None, None] & fmask_prev, True, gridm)
+    gridm = jnp.where(dropped & fmask_prev, gridm | pack_slots(carried), gridm)
     carried = jnp.where(dropped, jnp.zeros_like(carried), carried)
     # box reveal destroys the tracked box object (contents are new objects).
-    gridm = jnp.where(box_consumed & fmask_prev, False, gridm)
+    gridm = jnp.where(box_consumed & fmask_prev, 0, gridm)
 
     # update_objs_poss on drop ACTION (roomgrid_level.py:89-91) — refreshes
     # obj_poss to the tracked objects currently in the grid.
@@ -469,13 +501,15 @@ def set_desc(
     mask = desc_match_mask(
         grid, d_type, d_color, d_loc, agent_pos, agent_dir, agent_room_mask
     )
+    bit = jnp.int32(1) << (leaf * 2 + d)
+    packed = jnp.where(mask, bit, 0)
     return instr.replace(
         d_type=instr.d_type.at[leaf, d].set(d_type),
         d_color=instr.d_color.at[leaf, d].set(d_color),
         d_loc=instr.d_loc.at[leaf, d].set(d_loc),
         d_plural=instr.d_plural.at[leaf, d].set(mask.sum() > 1),
-        gridm=instr.gridm.at[leaf, d].set(mask),
-        poss=instr.poss.at[leaf, d].set(mask),
+        gridm=(instr.gridm & ~bit) | packed,
+        poss=(instr.poss & ~bit) | packed,
     )
 
 
@@ -497,10 +531,10 @@ def start_carrying_object(instr: InstrState, pos) -> InstrState:
     hand before the episode starts (PutNext ``start_carrying``,
     reference putnext.py:190-200: matching ran with the object in the grid,
     then it was lifted; obj_poss stays stale)."""
-    at = instr.gridm[:, :, pos[0], pos[1]]
+    at = unpack_slots(instr.gridm[pos[0], pos[1]])
     return instr.replace(
         carried=instr.carried | at,
-        gridm=instr.gridm.at[:, :, pos[0], pos[1]].set(False),
+        gridm=instr.gridm.at[pos[0], pos[1]].set(0),
     )
 
 

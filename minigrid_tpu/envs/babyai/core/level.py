@@ -32,6 +32,7 @@ from minigrid_tpu.envs.babyai.core.instr import (
     S_SUCCESS,
     InstrState,
     num_navs,
+    tracked_plane,
     verify_step,
 )
 from minigrid_tpu.envs.babyai.core.text import encode_babyai_mission, babyai_mission_text
@@ -106,8 +107,8 @@ class RoomGridLevel(RoomGridEnvBase):
         # must not already be adjacent.
         for leaf in range(4):
             is_put = instr.leaf_kind[leaf] == LEAF_PUTNEXT
-            move = instr.gridm[leaf, 0]
-            fixed = instr.gridm[leaf, 1]
+            move = tracked_plane(instr.gridm, leaf, 0)
+            fixed = tracked_plane(instr.gridm, leaf, 1)
             intersects = (move & fixed).any()
             already_next = (_dilate4(fixed) & move).any()
             ok &= ~(is_put & (intersects | already_next))
@@ -116,9 +117,9 @@ class RoomGridLevel(RoomGridEnvBase):
         # reference asserts this when generating the surface string).
         for leaf in range(4):
             active = instr.leaf_kind[leaf] >= 0
-            has0 = instr.gridm[leaf, 0].any()
+            has0 = tracked_plane(instr.gridm, leaf, 0).any()
             is_put = instr.leaf_kind[leaf] == LEAF_PUTNEXT
-            has1 = instr.gridm[leaf, 1].any()
+            has1 = tracked_plane(instr.gridm, leaf, 1).any()
             ok &= ~active | (has0 & (~is_put | has1))
 
         if self.unblocking:

@@ -467,7 +467,9 @@ class BabyAIBot:
         self.fwd_pos = _add(self.pos, self.dir_vec)
         carry = int(state.carrying)
         self.carrying = (carry & 0xFF, (carry >> 8) & 0xFF) if carry else None
-        self.instr_gridm = np.asarray(state.extra["instr"].gridm)
+        g = np.asarray(state.extra["instr"].gridm)  # packed i32[W, H]
+        bit = np.arange(4)[:, None, None, None] * 2 + np.arange(2)[None, :, None, None]
+        self.instr_gridm = ((g[None, None] >> bit) & 1) != 0  # bool[4, 2, W, H]
 
     def cell(self, x, y):
         """(type, color, state) ints at (x, y), None for empty/out-of-grid."""
