@@ -94,3 +94,67 @@ def sharded_rollout(
         out_shardings=(jax.tree.map(lambda _: shard, states), repl, repl),
     )
     return run(states, key)
+
+
+def sharded_rollout_fused(
+    env,
+    mesh: Mesh,
+    states,
+    key: jax.Array,
+    num_steps: int,
+    axis_name: str = "data",
+    resets_per_chunk: int = 2,
+    fused: bool | str = "auto",
+):
+    """Mesh rollout where EACH DEVICE runs the whole-rollout fused Pallas
+    kernel on its local env shard.
+
+    ``sharded_rollout`` above relies on XLA's SPMD partitioner, which cannot
+    partition a custom call — so on a multi-chip mesh the fused kernel
+    (ops/fused_rollout.py) is unreachable through it.  ``shard_map`` is the
+    TPU-native answer: the body sees per-shard shapes, so the kernel
+    dispatches per device on its local batch, and the reward/episode totals
+    are the only collectives (one psum pair over ICI).  Falls back to the
+    XLA scan per shard when the kernel is ineligible (non-TPU backend,
+    non-default-hook family, shard not a multiple of the kernel block).
+
+    Returns (states, total_reward, episodes) with totals replicated.
+    """
+    shard_map = jax.shard_map
+
+    from minigrid_tpu.ops.fused_rollout import supports_fused
+    from minigrid_tpu.parallel.vector import rollout_random
+
+    num_devices = mesh.devices.size
+    num_envs = states.step_count.shape[0]
+    assert num_envs % num_devices == 0
+    per_shard = num_envs // num_devices
+    if fused == "auto":
+        wh = env.width * env.height
+        fused = (
+            jax.devices()[0].platform == "tpu"
+            and supports_fused(env)
+            and per_shard % 1024 == 0
+            and wh <= 361
+        )
+
+    def local(states, key):
+        k = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+        final, total_r, total_done = rollout_random(
+            env, states, k, num_steps, resets_per_chunk, fused
+        )
+        return (
+            final,
+            jax.lax.psum(total_r, axis_name),
+            jax.lax.psum(total_done, axis_name),
+        )
+
+    spec = jax.tree.map(lambda _: P(axis_name), states)
+    run = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, P()),
+        out_specs=(spec, P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(run)(states, key)

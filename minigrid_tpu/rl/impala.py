@@ -95,8 +95,15 @@ def vtrace(
     return jax.lax.stop_gradient(vs), jax.lax.stop_gradient(pg_adv)
 
 
-def make_impala(env, config: IMPALAConfig = IMPALAConfig(), hidden: int = 256):
-    """Build (init_fn, train_step_fn) — same contract as rl/ppo.make_ppo."""
+def make_impala(
+    env,
+    config: IMPALAConfig = IMPALAConfig(),
+    hidden: int = 256,
+    mesh=None,
+    axis_name: str = "data",
+):
+    """Build (init_fn, train_step_fn) — same contract as rl/ppo.make_ppo
+    (including the ``mesh`` shard_map rollout for multi-chip)."""
     model = ActorCritic(hidden=hidden, num_actions=env.num_actions)
     tx = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
@@ -156,6 +163,8 @@ def make_impala(env, config: IMPALAConfig = IMPALAConfig(), hidden: int = 256):
             rollout_steps=config.rollout_steps,
             resets_per_chunk=config.resets_per_chunk,
             fused_actor=True,  # policy_apply IS the standard packed forward
+            mesh=mesh,
+            axis_name=axis_name,
         )
         v = env.agent_view_size
         last_packed = jax.vmap(lambda s: env.observation_packed(s).reshape(v * v))(env_states)

@@ -47,12 +47,24 @@ class TrainState(NamedTuple):
     key: jax.Array
 
 
-def make_ppo(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
+def make_ppo(
+    env,
+    config: PPOConfig = PPOConfig(),
+    hidden: int = 256,
+    mesh=None,
+    axis_name: str = "data",
+):
     """Build (init_fn, train_step_fn) for the given env family.
 
     ``init_fn(key, num_envs) -> TrainState``;
     ``train_step_fn(state) -> (TrainState, metrics)`` — pure and jittable,
     suitable for ``jax.jit(..., in_shardings=...)`` over a device mesh.
+
+    On a multi-chip mesh pass ``mesh``: the rollout then runs under
+    ``shard_map`` (each device collects its local env shard, through the
+    fused actor kernel when eligible — unreachable via the SPMD partitioner,
+    which cannot partition a custom call), while GAE and the minibatched
+    update stay on the partitioner as before.
     """
     model = ActorCritic(hidden=hidden, num_actions=env.num_actions)
     if config.lr_anneal_updates is None:
@@ -92,6 +104,7 @@ def make_ppo(env, config: PPOConfig = PPOConfig(), hidden: int = 256):
             env, policy_apply, params, env_states, key,
             config.rollout_steps, config.resets_per_chunk,
             fused_actor=True,  # policy_apply IS the standard packed forward
+            mesh=mesh, axis_name=axis_name,
         )
 
     def gae(values, rewards, dones, last_value):

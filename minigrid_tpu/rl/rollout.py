@@ -38,6 +38,8 @@ def collect_trajectory(
     rollout_steps: int,
     resets_per_chunk: int = 2,
     fused_actor: bool = False,
+    mesh=None,
+    axis_name: str = "data",
 ):
     """Scan ``rollout_steps`` policy steps; returns (env_states, key, Trajectory).
 
@@ -51,9 +53,61 @@ def collect_trajectory(
     ``rollout_steps`` and the per-step policy matmuls run on the MXU inside
     the kernel; only the trajectory streams to HBM.  Same step_cached
     semantics; action sampling is the same Gumbel-argmax construction as
-    ``jax.random.categorical`` on the TPU core PRNG.
+    ``jax.random.categorical``, driven from the key stream.
+
+    ``mesh`` (a 1-D ``jax.sharding.Mesh``) runs the collection under
+    ``shard_map``: each device collects its local env shard — through the
+    fused kernel when eligible per shard, which the plain jit path cannot
+    reach on a multi-chip mesh (XLA's SPMD partitioner does not partition
+    custom calls) — and the trajectory comes back sharded on the env axis
+    for the (partitioner-handled) update that follows.
     """
     num_envs = env_states.step_count.shape[0]
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        shard_map = jax.shard_map
+
+        from minigrid_tpu.ops.actor_rollout import B as _BLOCK
+        from minigrid_tpu.ops.actor_rollout import fused_actor_rollout
+        from minigrid_tpu.ops.fused_rollout import supports_fused
+
+        num_devices = mesh.devices.size
+        assert num_envs % num_devices == 0
+        per_shard = num_envs // num_devices
+        use_kernel = (
+            fused_actor
+            and jax.devices()[0].platform == "tpu"
+            and supports_fused(env)
+            and per_shard % _BLOCK == 0
+            and env.width * env.height <= 361
+        )
+
+        def local(params, states, key):
+            k = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+            if use_kernel:
+                states, traj = fused_actor_rollout(
+                    env, params, states, k, rollout_steps, resets_per_chunk
+                )
+                return states, Trajectory(**traj)
+            states, _, traj = collect_trajectory(
+                env, policy_apply, params, states, k,
+                rollout_steps, resets_per_chunk, fused_actor=False,
+            )
+            return states, traj
+
+        sspec = jax.tree.map(lambda _: P(axis_name), env_states)
+        tspec = Trajectory(*(P(None, axis_name) for _ in Trajectory._fields))
+        run = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(jax.tree.map(lambda _: P(), params), sspec, P()),
+            out_specs=(sspec, tspec),
+            check_vma=False,
+        )
+        key, k_use = jax.random.split(key)
+        env_states, traj = run(params, env_states, k_use)
+        return env_states, key, traj
     if fused_actor:
         from minigrid_tpu.ops.actor_rollout import (
             fused_actor_rollout,
