@@ -35,18 +35,16 @@ import jax.numpy as jnp  # noqa: E402
 from minigrid_tpu.compat.parity import ParityRollout, parity_reset  # noqa: E402
 from minigrid_tpu.core.constants import unpack_grid  # noqa: E402
 
+# One id per classic family (every generation mechanism represented) — the
+# default per-push lane.  MINIGRID_TPU_FULL=1 (the scheduled full-sweep lane,
+# .github/workflows/full-sweep.yml) widens to every size/variant and seed.
 PARITY_IDS = [
     "MiniGrid-Empty-8x8-v0",
-    "MiniGrid-Empty-Random-6x6-v0",
-    "MiniGrid-Empty-16x16-v0",
     "MiniGrid-DistShift1-v0",
-    "MiniGrid-DistShift2-v0",
     "MiniGrid-LavaGapS6-v0",
     "MiniGrid-SimpleCrossingS9N2-v0",
-    "MiniGrid-LavaCrossingS9N1-v0",
     "MiniGrid-LavaCrossingS11N5-v0",
     "MiniGrid-DoorKey-8x8-v0",
-    "MiniGrid-DoorKey-16x16-v0",
     "MiniGrid-FourRooms-v0",
     "MiniGrid-Dynamic-Obstacles-8x8-v0",
     "MiniGrid-GoToDoor-8x8-v0",
@@ -55,25 +53,35 @@ PARITY_IDS = [
     "MiniGrid-PutNear-8x8-N3-v0",
     "MiniGrid-RedBlueDoors-8x8-v0",
     "MiniGrid-MemoryS13-v0",
-    "MiniGrid-MemoryS13Random-v0",
     "MiniGrid-Playground-v0",
     "MiniGrid-LockedRoom-v0",
     "MiniGrid-MultiRoom-N4-S5-v0",
-    "MiniGrid-MultiRoom-N6-v0",
-    "MiniGrid-Unlock-v0",
     "MiniGrid-UnlockPickup-v0",
     "MiniGrid-BlockedUnlockPickup-v0",
     "MiniGrid-KeyCorridorS3R3-v0",
-    "MiniGrid-KeyCorridorS6R3-v0",
-    "MiniGrid-ObstructedMaze-1Dl-v0",
-    "MiniGrid-ObstructedMaze-1Dlhb-v0",
     "MiniGrid-ObstructedMaze-2Dlh-v0",
-    "MiniGrid-ObstructedMaze-2Dlhb-v1",
-    "MiniGrid-ObstructedMaze-Full-v0",
     "MiniGrid-ObstructedMaze-Full-v1",
 ]
 
-SEEDS = [0, 1, 7, 123, 9999]
+SEEDS = [0, 7, 9999]
+
+if os.environ.get("MINIGRID_TPU_FULL"):
+    PARITY_IDS += [
+        "MiniGrid-Empty-Random-6x6-v0",
+        "MiniGrid-Empty-16x16-v0",
+        "MiniGrid-DistShift2-v0",
+        "MiniGrid-LavaCrossingS9N1-v0",
+        "MiniGrid-DoorKey-16x16-v0",
+        "MiniGrid-MemoryS13Random-v0",
+        "MiniGrid-MultiRoom-N6-v0",
+        "MiniGrid-Unlock-v0",
+        "MiniGrid-KeyCorridorS6R3-v0",
+        "MiniGrid-ObstructedMaze-1Dl-v0",
+        "MiniGrid-ObstructedMaze-1Dlhb-v0",
+        "MiniGrid-ObstructedMaze-2Dlhb-v1",
+        "MiniGrid-ObstructedMaze-Full-v0",
+    ]
+    SEEDS = [0, 1, 7, 123, 9999]
 
 
 def _ref_make(env_id):
