@@ -296,3 +296,11 @@ class RoomGridLevel(RoomGridEnvBase):
 
     def mission_text(self, mission) -> str:
         return babyai_mission_text(mission)
+
+
+# All RoomGridLevel families run inside the fused whole-rollout kernel via
+# the block-layout verifier twin (instr_block.py); equivalence vs the XLA
+# step_cached path is enforced per family in tests/test_fused_rollout.py.
+from minigrid_tpu.envs.babyai.core.instr_block import BabyAIFusedExt  # noqa: E402
+
+RoomGridLevel.fused_ext = BabyAIFusedExt()

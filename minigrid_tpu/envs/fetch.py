@@ -11,6 +11,7 @@ from minigrid_tpu.core.env import MiniGridEnv, success_reward
 from minigrid_tpu.core.mission import mission_vec, register_mission
 from minigrid_tpu.core.sampling import place_obj_pos, rand_dir, randint
 from minigrid_tpu.core.state import EnvState, new_state
+from minigrid_tpu.ops import fused_ext as fx
 
 # Five mission syntax variants (reference: minigrid/envs/fetch.py:78-84,149-159).
 _SYNTAX = ["get a", "go get a", "fetch a", "go fetch a", "you must fetch a"]
@@ -87,3 +88,35 @@ class FetchEnv(MiniGridEnv):
         reward = jnp.where(carrying & match, success_reward(state), jnp.where(carrying, 0.0, reward))
         terminated = state.terminated | carrying
         return state.replace(terminated=terminated), reward
+
+
+class _FetchFusedExt(fx.FusedExt):
+    """Block twin of FetchEnv._post_step: any pickup ends the episode,
+    rewarded only if (type, color) matches the commanded target."""
+
+    n_scalars = 2
+
+    def pack_extra(self, env, extra):
+        scal = jnp.stack(
+            [extra["target_type"], extra["target_color"]], axis=-1
+        ).astype(jnp.int32)
+        return scal, None
+
+    def unpack_extra(self, env, scal, planes):
+        return {"target_type": scal[..., 0], "target_color": scal[..., 1]}
+
+    def post_step(self, ctx):
+        carry = ctx.sc[fx.ROW_CARRY]
+        carrying = fx.carry_type(carry) != 0
+        match = (fx.carry_type(carry) == ctx.scal[0]) & (
+            fx.carry_color(carry) == ctx.scal[1]
+        )
+        reward = jnp.where(
+            carrying & match,
+            ctx.success_reward(),
+            jnp.where(carrying, 0.0, ctx.reward),
+        )
+        return carrying, reward, ctx.scal, ctx.planes
+
+
+FetchEnv.fused_ext = _FetchFusedExt()

@@ -12,6 +12,7 @@ from minigrid_tpu.core.env import MiniGridEnv, success_reward
 from minigrid_tpu.core.mission import mission_vec, register_mission
 from minigrid_tpu.core.sampling import place_obj_pos, rand_dir, randint
 from minigrid_tpu.core.state import EnvState, new_state
+from minigrid_tpu.envs.gotoobject import GoToTargetFusedExt
 
 _MISSION = register_mission("go to the {0} door", ("color",))
 
@@ -106,3 +107,6 @@ class GoToDoorEnv(MiniGridEnv):
         reward = jnp.where(is_done & next_to, success_reward(state), reward)
         terminated = state.terminated | (a == Actions.toggle) | is_done
         return state.replace(terminated=terminated), reward
+
+
+GoToDoorEnv.fused_ext = GoToTargetFusedExt()

@@ -13,6 +13,7 @@ from minigrid_tpu.core.env import MiniGridEnv, success_reward
 from minigrid_tpu.core.mission import mission_vec, register_mission
 from minigrid_tpu.core.sampling import place_obj_pos, rand_dir, randint
 from minigrid_tpu.core.state import EnvState, new_state
+from minigrid_tpu.ops import fused_ext as fx
 
 _MISSION = register_mission("go to the {0} {1}", ("color", "type"))
 
@@ -89,3 +90,30 @@ class GoToObjectEnv(MiniGridEnv):
         reward = jnp.where(is_done & next_to, success_reward(state), reward)
         terminated = state.terminated | (a == Actions.toggle) | is_done
         return state.replace(terminated=terminated), reward
+
+
+class GoToTargetFusedExt(fx.FusedExt):
+    """Block twin of the GoToObject/GoToDoor _post_step: done next to the
+    target succeeds; toggle or done terminates (shared by gotodoor.py)."""
+
+    n_scalars = 2
+
+    def pack_extra(self, env, extra):
+        return jnp.asarray(extra["target_pos"], jnp.int32), None
+
+    def unpack_extra(self, env, scal, planes):
+        return {"target_pos": scal}
+
+    def post_step(self, ctx):
+        ax, ay = ctx.sc[fx.ROW_AX], ctx.sc[fx.ROW_AY]
+        tx, ty = ctx.scal[0], ctx.scal[1]
+        next_to = ((ax == tx) & (jnp.abs(ay - ty) == 1)) | (
+            (ay == ty) & (jnp.abs(ax - tx) == 1)
+        )
+        is_done = ctx.action == Actions.done
+        reward = jnp.where(is_done & next_to, ctx.success_reward(), ctx.reward)
+        term = (ctx.action == Actions.toggle) | is_done
+        return term, reward, ctx.scal, ctx.planes
+
+
+GoToObjectEnv.fused_ext = GoToTargetFusedExt()

@@ -11,6 +11,7 @@ from minigrid_tpu.core.env import success_reward
 from minigrid_tpu.core.mission import mission_vec
 from minigrid_tpu.core.sampling import randint
 from minigrid_tpu.core.state import EnvState, new_state
+from minigrid_tpu.ops import fused_ext as fx
 from minigrid_tpu.envs.unlock import RoomGridEnvBase, _MISSION_PICKUP
 
 
@@ -74,3 +75,29 @@ class KeyCorridorEnv(RoomGridEnvBase):
         )
         reward = jnp.where(success, success_reward(state), reward)
         return state.replace(terminated=state.terminated | success), reward
+
+
+class _KeyCorridorFusedExt(fx.FusedExt):
+    """Block twin of KeyCorridorEnv._post_step: pickup of the target-kind
+    object in the commanded color succeeds."""
+
+    n_scalars = 1
+
+    def pack_extra(self, env, extra):
+        return extra["target_color"].astype(jnp.int32)[..., None], None
+
+    def unpack_extra(self, env, scal, planes):
+        return {"target_color": scal[..., 0]}
+
+    def post_step(self, ctx):
+        carry = ctx.sc[fx.ROW_CARRY]
+        success = (
+            (ctx.action == Actions.pickup)
+            & (fx.carry_type(carry) == ctx.env.obj_kind)
+            & (fx.carry_color(carry) == ctx.scal[0])
+        )
+        reward = jnp.where(success, ctx.success_reward(), ctx.reward)
+        return success, reward, ctx.scal, ctx.planes
+
+
+KeyCorridorEnv.fused_ext = _KeyCorridorFusedExt()

@@ -18,6 +18,7 @@ from minigrid_tpu.core.env import MiniGridEnv, success_reward
 from minigrid_tpu.core.mission import mission_vec, register_mission
 from minigrid_tpu.core.sampling import randint
 from minigrid_tpu.core.state import EnvState, new_state
+from minigrid_tpu.ops import fused_ext as fx
 
 _MISSION = register_mission("go to the matching object at the end of the hallway")
 
@@ -115,3 +116,33 @@ class MemoryEnv(MiniGridEnv):
 
     def mission_text(self, mission=None) -> str:
         return "go to the matching object at the end of the hallway"
+
+
+class _MemoryFusedExt(fx.FusedExt):
+    """Block twin of MemoryEnv hooks: pickup acts as toggle; reaching the
+    success/failure hallway-end cell terminates."""
+
+    n_scalars = 4
+
+    def pack_extra(self, env, extra):
+        return fx.pack_pos_pairs(extra["success_pos"], extra["failure_pos"]), None
+
+    def unpack_extra(self, env, scal, planes):
+        return {"success_pos": scal[..., 0:2], "failure_pos": scal[..., 2:4]}
+
+    def map_action(self, env, a):
+        return jnp.where(a == Actions.pickup, jnp.int32(Actions.toggle), a)
+
+    def post_step(self, ctx):
+        ax, ay = ctx.sc[fx.ROW_AX], ctx.sc[fx.ROW_AY]
+        at_success = (ax == ctx.scal[0]) & (ay == ctx.scal[1])
+        at_failure = (ax == ctx.scal[2]) & (ay == ctx.scal[3])
+        reward = jnp.where(
+            at_success,
+            ctx.success_reward(),
+            jnp.where(at_failure, 0.0, ctx.reward),
+        )
+        return at_success | at_failure, reward, ctx.scal, ctx.planes
+
+
+MemoryEnv.fused_ext = _MemoryFusedExt()

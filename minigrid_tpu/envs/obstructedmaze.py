@@ -26,6 +26,7 @@ from minigrid_tpu.core.mission import mission_vec, register_mission
 from minigrid_tpu.core.sampling import randint
 from minigrid_tpu.core.state import EnvState, new_state
 from minigrid_tpu.envs.unlock import RoomGridEnvBase
+from minigrid_tpu.ops import fused_ext as fx
 
 _MISSION = register_mission("pick up the {0} ball", ("color",))
 
@@ -201,3 +202,21 @@ class ObstructedMaze_Full(ObstructedMazeEnv):
 
 class ObstructedMaze_Full_V1(ObstructedMaze_Full):
     v1 = True
+
+
+class _ObstructedMazeFusedExt(fx.FusedExt):
+    """Block twin of ObstructedMazeEnv._post_step (no extra state): success is
+    a pickup action holding the blue ball."""
+
+    def post_step(self, ctx):
+        carry = ctx.sc[fx.ROW_CARRY]
+        success = (
+            (ctx.action == Actions.pickup)
+            & (fx.carry_type(carry) == OBJ_BALL)
+            & (fx.carry_color(carry) == _BALL_COLOR)
+        )
+        reward = jnp.where(success, ctx.success_reward(), ctx.reward)
+        return success, reward, ctx.scal, ctx.planes
+
+
+ObstructedMazeEnv.fused_ext = _ObstructedMazeFusedExt()

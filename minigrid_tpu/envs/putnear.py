@@ -12,6 +12,7 @@ from minigrid_tpu.core.env import MiniGridEnv, success_reward
 from minigrid_tpu.core.mission import mission_vec, register_mission
 from minigrid_tpu.core.sampling import place_obj_pos, rand_dir, randint
 from minigrid_tpu.core.state import EnvState, new_state
+from minigrid_tpu.ops import fused_ext as fx
 from minigrid_tpu.envs.gotoobject import _COMBO_COLOR, _COMBO_TYPE
 
 _MISSION = register_mission(
@@ -110,3 +111,52 @@ class PutNearEnv(MiniGridEnv):
         )
         terminated = state.terminated | wrong_pickup | drop_attempt
         return state.replace(terminated=terminated), reward
+
+
+class _PutNearFusedExt(fx.FusedExt):
+    """Block twin of PutNearEnv._post_step: wrong pickups and any drop
+    attempt terminate; a drop landing chebyshev-adjacent to the target
+    succeeds (front cell from the POST pose, unclipped, as in the host hook)."""
+
+    n_scalars = 4
+
+    def pack_extra(self, env, extra):
+        mt = extra["move_type"].astype(jnp.int32)[..., None]
+        mc = extra["move_color"].astype(jnp.int32)[..., None]
+        return jnp.concatenate(
+            [mt, mc, jnp.asarray(extra["target_pos"], jnp.int32)], axis=-1
+        ), None
+
+    def unpack_extra(self, env, scal, planes):
+        return {
+            "move_type": scal[..., 0],
+            "move_color": scal[..., 1],
+            "target_pos": scal[..., 2:4],
+        }
+
+    def post_step(self, ctx):
+        a = ctx.action
+        carry = ctx.sc[fx.ROW_CARRY]
+        carrying = fx.carry_type(carry) != 0
+        wrong = carrying & (
+            (fx.carry_type(carry) != ctx.scal[0])
+            | (fx.carry_color(carry) != ctx.scal[1])
+        )
+        wrong_pickup = (a == Actions.pickup) & wrong
+
+        pre_carrying = fx.carry_type(ctx.sc_prev[fx.ROW_CARRY]) != 0
+        dropped = pre_carrying & ~carrying
+        dx, dy = fx.dir_vec(ctx.sc[fx.ROW_DIR])
+        fxx = ctx.sc[fx.ROW_AX] + dx
+        fyy = ctx.sc[fx.ROW_AY] + dy
+        near_target = (jnp.abs(fxx - ctx.scal[2]) <= 1) & (
+            jnp.abs(fyy - ctx.scal[3]) <= 1
+        )
+        drop_attempt = (a == Actions.drop) & pre_carrying
+        reward = jnp.where(
+            drop_attempt & dropped & near_target, ctx.success_reward(), ctx.reward
+        )
+        return wrong_pickup | drop_attempt, reward, ctx.scal, ctx.planes
+
+
+PutNearEnv.fused_ext = _PutNearFusedExt()

@@ -19,6 +19,7 @@ from minigrid_tpu.core.env import MiniGridEnv, success_reward
 from minigrid_tpu.core.mission import mission_vec, register_mission
 from minigrid_tpu.core.sampling import place_obj_pos, rand_dir, randint
 from minigrid_tpu.core.state import EnvState, new_state
+from minigrid_tpu.ops import fused_ext as fx
 
 _MISSION = register_mission("open the red door then the blue door")
 
@@ -77,3 +78,34 @@ class RedBlueDoorEnv(MiniGridEnv):
 
     def mission_text(self, mission=None) -> str:
         return "open the red door then the blue door"
+
+
+class _RedBlueDoorsFusedExt(fx.FusedExt):
+    """Block twin of RedBlueDoorEnv._post_step: blue open after red succeeds,
+    out-of-order opens fail (door states read from the pre/post grids)."""
+
+    n_scalars = 4
+
+    def pack_extra(self, env, extra):
+        return fx.pack_pos_pairs(extra["red_pos"], extra["blue_pos"]), None
+
+    def unpack_extra(self, env, scal, planes):
+        return {"red_pos": scal[..., 0:2], "blue_pos": scal[..., 2:4]}
+
+    def post_step(self, ctx):
+        rx, ry, bx, by = ctx.scal
+        is_open = lambda cell: fx.cell_state_bits(cell) == STATE_OPEN
+        red_before = is_open(ctx.read_xy(ctx.g_prev, rx, ry))
+        blue_before = is_open(ctx.read_xy(ctx.g_prev, bx, by))
+        red_after = is_open(ctx.read_xy(ctx.g_post, rx, ry))
+        blue_after = is_open(ctx.read_xy(ctx.g_post, bx, by))
+
+        success = blue_after & red_before
+        failure = (blue_after & ~red_before) | (red_after & ~blue_after & blue_before)
+        reward = jnp.where(
+            success, ctx.success_reward(), jnp.where(failure, 0.0, ctx.reward)
+        )
+        return success | failure, reward, ctx.scal, ctx.planes
+
+
+RedBlueDoorEnv.fused_ext = _RedBlueDoorsFusedExt()

@@ -24,6 +24,7 @@ from minigrid_tpu.core.mission import mission_vec, register_mission
 from minigrid_tpu.core.roomgrid import RoomGridBuilder
 from minigrid_tpu.core.sampling import randint
 from minigrid_tpu.core.state import EnvState, new_state
+from minigrid_tpu.ops import fused_ext as fx
 
 _MISSION_OPEN = register_mission("open the door")
 _MISSION_PICKUP = register_mission("pick up the {0} {1}", ("color", "type"))
@@ -140,3 +141,50 @@ class BlockedUnlockPickupEnv(UnlockPickupEnv):
     (reference: minigrid/envs/blockedunlockpickup.py:66-120)."""
 
     blocked = True
+
+
+class _UnlockFusedExt(fx.FusedExt):
+    """Block twin of UnlockEnv._post_step: toggle with the tracked door open
+    succeeds (door state read from the post grid)."""
+
+    n_scalars = 2
+
+    def pack_extra(self, env, extra):
+        return jnp.asarray(extra["door_pos"], jnp.int32), None
+
+    def unpack_extra(self, env, scal, planes):
+        return {"door_pos": scal}
+
+    def post_step(self, ctx):
+        dcell = ctx.read_xy(ctx.g_post, ctx.scal[0], ctx.scal[1])
+        door_open = fx.cell_state_bits(dcell) == STATE_OPEN
+        success = (ctx.action == Actions.toggle) & door_open
+        reward = jnp.where(success, ctx.success_reward(), ctx.reward)
+        return success, reward, ctx.scal, ctx.planes
+
+
+class _UnlockPickupFusedExt(fx.FusedExt):
+    """Block twin of UnlockPickupEnv._post_step: pickup of the commanded-color
+    box succeeds."""
+
+    n_scalars = 1
+
+    def pack_extra(self, env, extra):
+        return extra["target_color"].astype(jnp.int32)[..., None], None
+
+    def unpack_extra(self, env, scal, planes):
+        return {"target_color": scal[..., 0]}
+
+    def post_step(self, ctx):
+        carry = ctx.sc[fx.ROW_CARRY]
+        success = (
+            (ctx.action == Actions.pickup)
+            & (fx.carry_type(carry) == OBJ_BOX)
+            & (fx.carry_color(carry) == ctx.scal[0])
+        )
+        reward = jnp.where(success, ctx.success_reward(), ctx.reward)
+        return success, reward, ctx.scal, ctx.planes
+
+
+UnlockEnv.fused_ext = _UnlockFusedExt()
+UnlockPickupEnv.fused_ext = _UnlockPickupFusedExt()

@@ -235,7 +235,7 @@ def _actor_kernel(
     val_o[0, 0, 0] = value
 
     # --- transition + auto-reset from the cache (step_cached semantics) ---
-    g, c, sc, reward = _step_block(g, c, sc, action, W=W, H=H)
+    g, c, sc, reward, _aux = _step_block(g, c, sc, action, W=W, H=H)
     done = (sc[ROW_TERM] | sc[ROW_TRUNC]) != 0
     rew_o[0, 0, 0] = reward
     done_o[0, 0, 0] = done.astype(jnp.int32)
@@ -284,6 +284,9 @@ def supports_fused_actor(env, num_envs: int) -> bool:
         jax.devices()[0].platform == "tpu"
         and jax.device_count() == 1
         and supports_fused(env)
+        # fused_ext families are fused in the random-rollout kernel; the
+        # actor kernel does not run ext hooks yet.
+        and getattr(env, "fused_ext", None) is None
         and num_envs % B == 0
         and env.width * env.height <= 361
     )

@@ -56,10 +56,13 @@ from minigrid_tpu.core.constants import (
     WALL_CELL,
 )
 from minigrid_tpu.core.state import MISSION_DIM
+from minigrid_tpu.ops import fused_ext as _fx
+from minigrid_tpu.ops.fused_ext import FusedCtx
 
 # Scalar-plane row indices (the per-env int32 state vector).
 ROW_AX, ROW_AY, ROW_DIR, ROW_CARRY, ROW_STEP, ROW_MAX, ROW_TERM, ROW_TRUNC = range(8)
 NUM_SC = 8
+assert (_fx.ROW_AX, _fx.ROW_TRUNC) == (ROW_AX, ROW_TRUNC)
 
 # Python-int wall cell (WALL_CELL is a device constant; kernels must not
 # capture traced values).
@@ -184,7 +187,10 @@ def _step_block(g, c, sc, action, *, W, H):
     out[ROW_STEP] = step_count
     out[ROW_TERM] = terminated.astype(jnp.int32)
     out[ROW_TRUNC] = truncated.astype(jnp.int32)
-    return g, c, out, reward
+    # aux: the front-cell write mask + packed cell there before/after the
+    # step — everything a _post_step twin needs about the touched cell.
+    aux = (fmask, fcell, jnp.where(write, new_fcell, fcell))
+    return g, c, out, reward, aux
 
 
 def _view_bits_block(g, sc, *, W, H, V, see_through):
@@ -314,45 +320,70 @@ def _obs_checksum_block(g, sc, *, W, H, V, see_through):
 
 
 def _rollout_kernel(
-    actions_ref,
-    grid_i,
-    cont_i,
-    sc_i,
-    mis_i,
-    cgrid_ref,
-    ccont_ref,
-    csc_ref,
-    cmis_ref,
-    grid_o,
-    cont_o,
-    sc_o,
-    mis_o,
-    used_o,
-    obs_o,
-    rew_o,
-    done_o,
-    *,
+    *refs,
     W,
     H,
     V,
     T,
     R,
+    K,
+    P,
     see_through,
     compute_obs,
+    env,
+    ext,
 ):
+    it = iter(refs)
+    actions_ref = next(it)
+    grid_i, cont_i, sc_i, mis_i = next(it), next(it), next(it), next(it)
+    scal_i = next(it) if K else None
+    pl_i = next(it) if P else None
+    cgrid_ref, ccont_ref, csc_ref, cmis_ref = next(it), next(it), next(it), next(it)
+    cscal_ref = next(it) if K else None
+    cpl_ref = next(it) if P else None
+    grid_o, cont_o, sc_o, mis_o = next(it), next(it), next(it), next(it)
+    scal_o = next(it) if K else None
+    pl_o = next(it) if P else None
+    used_o, obs_o, rew_o, done_o = next(it), next(it), next(it), next(it)
+
     WH = W * H
     g0 = grid_i[0]
     c0 = cont_i[0]
     sc0 = {r: sc_i[0, r] for r in range(NUM_SC)}
     mis0 = mis_i[0]
+    scal0 = tuple(scal_i[0, k] for k in range(K))
+    pl0 = tuple(pl_i[0, p] for p in range(P))
     S = sc0[ROW_AX].shape
 
     def body(t, st):
-        g, c, sc_t, mis, used, obs_acc, rew_acc, done_acc = st
+        g, c, sc_t, mis, scal, planes, used, obs_acc, rew_acc, done_acc = st
         sc = {r: sc_t[r] for r in range(NUM_SC)}
         action = actions_ref[0, t]
 
-        g, c, sc, reward = _step_block(g, c, sc, action, W=W, H=H)
+        g_prev, sc_prev = g, sc
+        mapped = ext.map_action(env, action) if ext is not None else action
+        g, c, sc, reward, aux = _step_block(g, c, sc, mapped, W=W, H=H)
+        if ext is not None:
+            fmask, fcell_prev, fcell_post = aux
+            ctx = FusedCtx(
+                env=env,
+                W=W,
+                H=H,
+                g_prev=g_prev,
+                g_post=g,
+                c=c,
+                sc_prev=sc_prev,
+                sc=sc,
+                fmask=fmask,
+                fcell_prev=fcell_prev,
+                fcell_post=fcell_post,
+                action=action,
+                reward=reward,
+                scal=scal,
+                planes=planes,
+            )
+            term_x, reward, scal, planes = ext.post_step(ctx)
+            sc[ROW_TERM] = sc[ROW_TERM] | term_x.astype(jnp.int32)
         done = (sc[ROW_TERM] | sc[ROW_TRUNC]) != 0
         rew_acc = rew_acc + reward
         done_acc = done_acc + done.astype(jnp.int32)
@@ -365,6 +396,8 @@ def _rollout_kernel(
         fg, fc = cgrid_ref[0, 0], ccont_ref[0, 0]
         fsc = {r: csc_ref[0, 0, r] for r in range(NUM_SC)}
         fm = cmis_ref[0, 0]
+        fscal = [cscal_ref[0, 0, k] for k in range(K)]
+        fpl = [cpl_ref[0, 0, p] for p in range(P)]
         for r in range(1, R):
             take = used >= r
             fg = jnp.where(take[None], cgrid_ref[0, r], fg)
@@ -372,11 +405,21 @@ def _rollout_kernel(
             for q in range(NUM_SC):
                 fsc[q] = jnp.where(take, csc_ref[0, r, q], fsc[q])
             fm = jnp.where(take[None], cmis_ref[0, r], fm)
+            for k in range(K):
+                fscal[k] = jnp.where(take, cscal_ref[0, r, k], fscal[k])
+            for p in range(P):
+                fpl[p] = jnp.where(take[None], cpl_ref[0, r, p], fpl[p])
         g = jnp.where(done[None], fg, g)
         c = jnp.where(done[None], fc, c)
         for q in range(NUM_SC):
             sc[q] = jnp.where(done, fsc[q], sc[q])
         mis = jnp.where(done[None], fm, mis)
+        scal = tuple(
+            jnp.where(done, fscal[k], scal[k]) for k in range(K)
+        )
+        planes = tuple(
+            jnp.where(done[None], fpl[p], planes[p]) for p in range(P)
+        )
         sc_t = tuple(sc[r] for r in range(NUM_SC))
         used = used + done.astype(jnp.int32)
 
@@ -385,7 +428,7 @@ def _rollout_kernel(
                 g, sc, W=W, H=H, V=V, see_through=see_through
             )
 
-        return (g, c, sc_t, mis, used, obs_acc, rew_acc, done_acc)
+        return (g, c, sc_t, mis, scal, planes, used, obs_acc, rew_acc, done_acc)
 
     zero = jnp.zeros(S, jnp.int32)
     init = (
@@ -393,13 +436,15 @@ def _rollout_kernel(
         c0,
         tuple(sc0[r] for r in range(NUM_SC)),
         mis0,
+        scal0,
+        pl0,
         zero,
         zero,
         jnp.zeros(S, jnp.float32),
         zero,
     )
-    g, c, sc_t, mis, used, obs_acc, rew_acc, done_acc = jax.lax.fori_loop(
-        0, T, body, init
+    g, c, sc_t, mis, scal, planes, used, obs_acc, rew_acc, done_acc = (
+        jax.lax.fori_loop(0, T, body, init)
     )
 
     grid_o[0] = g
@@ -407,6 +452,10 @@ def _rollout_kernel(
     for r in range(NUM_SC):
         sc_o[0, r] = sc_t[r]
     mis_o[0] = mis
+    for k in range(K):
+        scal_o[0, k] = scal[k]
+    for p in range(P):
+        pl_o[0, p] = planes[p]
     used_o[0] = used
     obs_o[0] = obs_acc
     rew_o[0] = rew_acc
@@ -430,11 +479,19 @@ def _from_env_tiles(x):
 
 
 def supports_fused(env) -> bool:
-    """True if this family's transition is exactly the default-hook core step
-    (the only thing the fused kernel implements)."""
+    """True if this family's transition is the default-hook core step, or the
+    family publishes a ``fused_ext`` (ops/fused_ext.py) — a block-layout twin
+    of its ``_map_action``/``_post_step`` hooks the kernel runs in place."""
     from minigrid_tpu.core.env import MiniGridEnv
 
     cls = type(env)
+    if getattr(env, "fused_ext", None) is not None:
+        # The ext covers _map_action/_post_step; _pre_step and observation
+        # must still be the defaults (no ext carries pre-step dynamics yet).
+        return (
+            cls._pre_step is MiniGridEnv._pre_step
+            and cls.observation is MiniGridEnv.observation
+        )
     return (
         cls._pre_step is MiniGridEnv._pre_step
         and cls._post_step is MiniGridEnv._post_step
@@ -496,19 +553,23 @@ def fused_rollout_core(
         interpret = jax.devices()[0].platform != "tpu"
     N = states.step_count.shape[0]
     W_, H_ = env.width, env.height
-    # Block size is VMEM-budgeted: state + contains + R-slot reset cache is
-    # ~(2 + 2R) * WH * B * 4 bytes; a 2048-env block fits comfortably up to
-    # ~12x12 grids, larger grids (FourRooms/LockedRoom, 19x19) drop to
-    # 1024-env blocks (~9 MB at R=2) to stay inside the ~16 MB VMEM core.
-    E2 = 2 if (N % 2048 == 0 and W_ * H_ <= 144) else 1
+    ext = getattr(env, "fused_ext", None)
+    K = ext.n_scalars if ext is not None else 0
+    P = ext.n_planes if ext is not None else 0
+    T = actions.shape[0]
+    R = jax.tree.leaves(cache)[0].shape[1]
+    # Block size is VMEM-budgeted: live planes + their R-slot reset cache is
+    # ~(2 + P) * (1 + R) * WH * B * 4 bytes; a 2048-env block fits
+    # comfortably up to ~12x12 grids at P=0/R=2, larger grids
+    # (FourRooms/LockedRoom, 19x19) or plane-carrying exts drop to 1024-env
+    # blocks to stay inside the ~16 MB default VMEM core.
+    E2 = 2 if (N % 2048 == 0 and (2 + P) * (1 + R) * W_ * H_ <= 864) else 1
     B = E2 * 1024
     assert N % B == 0, f"fused_rollout requires num_envs % {B} == 0 (got {N})"
     Eb = N // B
     W, H = env.width, env.height
     WH = W * H
     V = env.agent_view_size
-    T = actions.shape[0]
-    R = jax.tree.leaves(cache)[0].shape[1]
 
     S = (E2, 8, 128)
 
@@ -537,6 +598,17 @@ def fused_rollout_core(
     csc = _to_env_tiles(sc_of(cache), Eb, E2)  # [Eb, R, NUM_SC, *S]
     cm = _to_env_tiles(cache.mission, Eb, E2)
 
+    # Family-ext extra state, packed to int32 scalars/planes (fused_ext.py).
+    if ext is not None and (K or P):
+        scal_N, pl_N = ext.pack_extra(env, states.extra)  # [N, K], [N, P, WH]
+        cscal_N, cpl_N = ext.pack_extra(env, cache.extra)  # [N, R, K], [N, R, P, WH]
+        scal_b = _to_env_tiles(scal_N, Eb, E2) if K else None
+        pl_b = _to_env_tiles(pl_N, Eb, E2) if P else None
+        cscal_b = _to_env_tiles(cscal_N, Eb, E2) if K else None
+        cpl_b = _to_env_tiles(cpl_N, Eb, E2) if P else None
+    else:
+        scal_b = pl_b = cscal_b = cpl_b = None
+
     def spec(*shape):
         return pl.BlockSpec(
             (1,) + shape, lambda e: (e,) + (0,) * len(shape), memory_space=pltpu.VMEM
@@ -549,56 +621,95 @@ def fused_rollout_core(
         V=V,
         T=T,
         R=R,
+        K=K,
+        P=P,
         see_through=bool(env.see_through_walls),
         compute_obs=bool(compute_obs),
+        env=env,
+        ext=ext,
     )
-    out_shapes = [
-        jax.ShapeDtypeStruct((Eb, WH) + S, jnp.int32),  # grid
-        jax.ShapeDtypeStruct((Eb, WH) + S, jnp.int32),  # contains
-        jax.ShapeDtypeStruct((Eb, NUM_SC) + S, jnp.int32),  # scalars
-        jax.ShapeDtypeStruct((Eb, MISSION_DIM) + S, jnp.int32),  # mission
-        jax.ShapeDtypeStruct((Eb,) + S, jnp.int32),  # used
-        jax.ShapeDtypeStruct((Eb,) + S, jnp.int32),  # obs checksum
-        jax.ShapeDtypeStruct((Eb,) + S, jnp.float32),  # reward sum
-        jax.ShapeDtypeStruct((Eb,) + S, jnp.int32),  # done count
-    ]
-    # State + contains + R-slot cache is (2 + 2R) * WH * B * 4 bytes, and
-    # Pallas double-buffers input blocks across grid steps; large grids
-    # (FourRooms 19x19) exceed the compiler's default 16 MB scoped-VMEM cap,
-    # so raise the cap to what the block actually needs (v5e VMEM is 128 MB).
-    vmem_limit = max(
-        16 * 1024 * 1024, int((2 + 2 * R) * WH * B * 4 * 3.2) + 6 * 1024 * 1024
+
+    def maybe(x):
+        return [x] if x is not None else []
+
+    inputs = (
+        [act_b, grid_b, cont_b, sc_b, mis_b]
+        + maybe(scal_b)
+        + maybe(pl_b)
+        + [cg, cc, csc, cm]
+        + maybe(cscal_b)
+        + maybe(cpl_b)
     )
-    outs = pl.pallas_call(
-        kernel,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
-        grid=(Eb,),
-        in_specs=[
+    in_specs = (
+        [
             spec(T, *S),
             spec(WH, *S),
             spec(WH, *S),
             spec(NUM_SC, *S),
             spec(MISSION_DIM, *S),
+        ]
+        + (maybe(spec(K, *S)) if K else [])
+        + (maybe(spec(P, WH, *S)) if P else [])
+        + [
             spec(R, WH, *S),
             spec(R, WH, *S),
             spec(R, NUM_SC, *S),
             spec(R, MISSION_DIM, *S),
-        ],
-        out_specs=[
+        ]
+        + (maybe(spec(R, K, *S)) if K else [])
+        + (maybe(spec(R, P, WH, *S)) if P else [])
+    )
+    out_shapes = (
+        [
+            jax.ShapeDtypeStruct((Eb, WH) + S, jnp.int32),  # grid
+            jax.ShapeDtypeStruct((Eb, WH) + S, jnp.int32),  # contains
+            jax.ShapeDtypeStruct((Eb, NUM_SC) + S, jnp.int32),  # scalars
+            jax.ShapeDtypeStruct((Eb, MISSION_DIM) + S, jnp.int32),  # mission
+        ]
+        + ([jax.ShapeDtypeStruct((Eb, K) + S, jnp.int32)] if K else [])
+        + ([jax.ShapeDtypeStruct((Eb, P, WH) + S, jnp.int32)] if P else [])
+        + [
+            jax.ShapeDtypeStruct((Eb,) + S, jnp.int32),  # used
+            jax.ShapeDtypeStruct((Eb,) + S, jnp.int32),  # obs checksum
+            jax.ShapeDtypeStruct((Eb,) + S, jnp.float32),  # reward sum
+            jax.ShapeDtypeStruct((Eb,) + S, jnp.int32),  # done count
+        ]
+    )
+    out_specs = (
+        [
             spec(WH, *S),
             spec(WH, *S),
             spec(NUM_SC, *S),
             spec(MISSION_DIM, *S),
-            spec(*S),
-            spec(*S),
-            spec(*S),
-            spec(*S),
-        ],
+        ]
+        + (maybe(spec(K, *S)) if K else [])
+        + (maybe(spec(P, WH, *S)) if P else [])
+        + [spec(*S), spec(*S), spec(*S), spec(*S)]
+    )
+    # Live planes + their R-slot cache are (2 + P) * (1 + R) * WH * B * 4
+    # bytes, and Pallas double-buffers input blocks across grid steps; large
+    # grids (FourRooms 19x19) exceed the compiler's default 16 MB scoped-VMEM
+    # cap, so raise the cap to what the block actually needs (v5e: 128 MB).
+    vmem_limit = max(
+        16 * 1024 * 1024,
+        int((2 + P) * (1 + R) * WH * B * 4 * 3.2) + 6 * 1024 * 1024,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
+        grid=(Eb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(act_b, grid_b, cont_b, sc_b, mis_b, cg, cc, csc, cm)
+    )(*inputs)
 
-    grid_f, cont_f, sc_f, mis_f, used_f, obs_f, rew_f, done_f = outs
+    outs = list(outs)
+    grid_f, cont_f, sc_f, mis_f = outs[:4]
+    rest = outs[4:]
+    scal_f = rest.pop(0) if K else None
+    pl_f = rest.pop(0) if P else None
+    used_f, obs_f, rew_f, done_f = rest
     sc = _from_env_tiles(sc_f)  # [N, NUM_SC]
     final = states.replace(
         grid=_from_env_tiles(grid_f).reshape(N, W, H),
@@ -613,6 +724,14 @@ def fused_rollout_core(
         truncated=sc[:, ROW_TRUNC] != 0,
         mission=_from_env_tiles(mis_f),
     )
+    if ext is not None and (K or P):
+        final = final.replace(
+            extra=ext.unpack_extra(
+                env,
+                _from_env_tiles(scal_f) if K else None,
+                _from_env_tiles(pl_f) if P else None,
+            )
+        )
     total_r = _from_env_tiles(rew_f).sum()
     total_done = _from_env_tiles(done_f).sum()
     obs_checksum = _from_env_tiles(obs_f).sum()

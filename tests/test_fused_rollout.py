@@ -84,6 +84,16 @@ def run_equivalence(env_id, n=1024, t=24, r=2, seed=0, **kwargs):
         a = np.asarray(getattr(final, name))
         b = np.asarray(getattr(st_ref, name))
         np.testing.assert_array_equal(a, b, err_msg=f"{env_id}: {name}")
+    if st_ref.extra is not None:
+        # fused_ext families must round-trip extra bit-exactly through the
+        # kernel's packed scalar/plane carry (incl. the auto-reset blends).
+        ref_leaves, treedef = jax.tree.flatten(st_ref.extra)
+        got_leaves, got_treedef = jax.tree.flatten(final.extra)
+        assert treedef == got_treedef, f"{env_id}: extra tree structure"
+        for i, (a, b) in enumerate(zip(got_leaves, ref_leaves)):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"{env_id}: extra leaf {i}"
+            )
     assert int(td) == int(td_r), f"{env_id}: done count"
     assert int(cs) == int(cs_r), f"{env_id}: obs checksum"
     np.testing.assert_allclose(float(tr), float(tr_r), rtol=1e-5)
@@ -130,3 +140,51 @@ def test_rollout_random_fused_flag_dispatch():
     _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(key, 64))
     states, total_r, total_done = rollout_random(env, states, key, 8)
     assert states.step_count.shape == (64,)
+
+
+# -- fused_ext families (ops/fused_ext.py): _map_action/_post_step twins ------
+
+
+def test_fused_ext_fetch():
+    # Any pickup terminates; reward only on target match.  Short max_steps
+    # forces truncation resets, blending extra (target) from the cache.
+    done = run_equivalence("MiniGrid-Fetch-5x5-N2-v0", t=12, max_steps=8, seed=7)
+    assert done > 0
+
+
+def test_fused_ext_gotoobject():
+    run_equivalence("MiniGrid-GoToObject-6x6-N2-v0", t=12, max_steps=8, seed=2)
+
+
+def test_fused_ext_gotodoor():
+    run_equivalence("MiniGrid-GoToDoor-5x5-v0", t=12, max_steps=8, seed=4)
+
+
+def test_fused_ext_putnear():
+    run_equivalence("MiniGrid-PutNear-6x6-N2-v0", t=16, max_steps=9, seed=6)
+
+
+def test_fused_ext_keycorridor():
+    run_equivalence("MiniGrid-KeyCorridorS3R1-v0", t=12, max_steps=10, seed=1)
+
+
+def test_fused_ext_unlock():
+    run_equivalence("MiniGrid-Unlock-v0", t=12, max_steps=10, seed=3)
+
+
+def test_fused_ext_unlockpickup():
+    run_equivalence("MiniGrid-UnlockPickup-v0", t=12, max_steps=10, seed=5)
+
+
+def test_fused_ext_redbluedoors():
+    run_equivalence("MiniGrid-RedBlueDoors-6x6-v0", t=12, max_steps=10, seed=8)
+
+
+def test_fused_ext_memory_map_action():
+    # MemoryEnv remaps pickup->toggle (_map_action) and terminates on the
+    # success/failure hallway cells.
+    run_equivalence("MiniGrid-MemoryS7-v0", t=12, max_steps=10, seed=9)
+
+
+def test_fused_ext_obstructedmaze():
+    run_equivalence("MiniGrid-ObstructedMaze-1Dlhb-v0", t=12, max_steps=12, seed=10)
