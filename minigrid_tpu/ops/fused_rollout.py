@@ -55,7 +55,6 @@ from minigrid_tpu.core.constants import (
     STATE_OPEN,
     WALL_CELL,
 )
-from minigrid_tpu.core.state import MISSION_DIM
 from minigrid_tpu.ops import fused_ext as _fx
 from minigrid_tpu.ops.fused_ext import FusedCtx
 
@@ -570,6 +569,8 @@ def fused_rollout_core(
     W, H = env.width, env.height
     WH = W * H
     V = env.agent_view_size
+    # Mission width varies by family (classic 8, BabyAI 44); structural dim.
+    MISSION_DIM = states.mission.shape[-1]
 
     S = (E2, 8, 128)
 

@@ -188,3 +188,37 @@ def test_fused_ext_memory_map_action():
 
 def test_fused_ext_obstructedmaze():
     run_equivalence("MiniGrid-ObstructedMaze-1Dlhb-v0", t=12, max_steps=12, seed=10)
+
+
+# -- BabyAI: the verifier automaton runs in-kernel (instr_block.py) ----------
+
+
+def test_fused_babyai_gotolocal():
+    # GoTo leaf: goto_succ fires on facing a tracked position; successes and
+    # subsequent cache resets blend the packed instr planes.
+    done = run_equivalence("BabyAI-GoToLocal-v0", t=24, seed=0)
+    assert done > 0
+
+
+def test_fused_babyai_pickup_and_open():
+    run_equivalence("BabyAI-PickupLoc-v0", t=24, seed=1)
+    run_equivalence("BabyAI-OpenRedDoor-v0", t=24, seed=2)
+
+
+def test_fused_babyai_putnext():
+    # PutNext exercises both descriptor slots, the poss dilation
+    # neighborhood read and the pre_move_tracked memory.
+    run_equivalence("BabyAI-PutNextLocalS5N3-v0", t=24, seed=3)
+
+
+@pytest.mark.slow
+def test_fused_babyai_seq_combinators():
+    # Before/After/And combinators + sticky side successes.
+    run_equivalence("BabyAI-SynthSeq-v0", t=24, seed=4)
+
+
+def test_fused_babyai_done_actions_mode(monkeypatch):
+    # done-actions mode: statuses are swallowed until a done action reports
+    # from last_match memory (verifier.py:225-237 semantics).
+    monkeypatch.setenv("BABYAI_DONE_ACTIONS", "1")
+    run_equivalence("BabyAI-GoToRedBallGrey-v0", t=24, seed=5)
