@@ -251,27 +251,23 @@ class BabyAIFusedExt(fx.FusedExt):
             put_succ = (a == Actions.drop) & dropped & pre_move & near1
             put_fail = strict & (a == Actions.pickup) & carrying_now
 
-            succ = jnp.where(
-                kind == LEAF_OPEN,
-                open_succ,
-                jnp.where(
-                    kind == LEAF_GOTO,
-                    goto_succ,
-                    jnp.where(kind == LEAF_PICKUP, pickup_succ, put_succ),
-                ),
+            # Boolean algebra, not jnp.where over bool operands: Mosaic
+            # rejects vector i1 select_n ("Unsupported target bitwidth for
+            # truncation" on the i8->i1 mask trunc), and masked or-reduction
+            # is the cheaper VPU form anyway.  Exactly one kind matches.
+            k_open = kind == LEAF_OPEN
+            k_goto = kind == LEAF_GOTO
+            k_pick = kind == LEAF_PICKUP
+            k_put = ~k_open & ~k_goto & ~k_pick
+            succ = (
+                (k_open & open_succ)
+                | (k_goto & goto_succ)
+                | (k_pick & pickup_succ)
+                | (k_put & put_succ)
             )
             fail = (
-                jnp.where(
-                    kind == LEAF_OPEN,
-                    open_fail,
-                    jnp.where(
-                        kind == LEAF_GOTO,
-                        False,
-                        jnp.where(kind == LEAF_PICKUP, pickup_fail, put_fail),
-                    ),
-                )
-                & ~succ
-            )
+                (k_open & open_fail) | (k_pick & pickup_fail) | (k_put & put_fail)
+            ) & ~succ
             st = jnp.where(
                 succ, S_SUCCESS, jnp.where(fail, S_FAILURE, S_CONTINUE)
             )
@@ -357,25 +353,18 @@ class BabyAIFusedExt(fx.FusedExt):
         )
 
         # -- called-mask gating + per-leaf memory (instr.py:414-460) --
-        a_called = jnp.where(
-            is_action | is_and_top,
-            True,
-            jnp.where(
-                is_before, ~a_prior, b_prior | (b_status == S_SUCCESS) | strict_top
-            ),
+        # Disjoint top_kind cases as boolean algebra (no vector-i1 select_n,
+        # which Mosaic cannot lower).
+        a_called = (
+            is_action
+            | is_and_top
+            | (is_before & ~a_prior)
+            | (is_after & (b_prior | (b_status == S_SUCCESS) | strict_top))
         )
-        b_called = jnp.where(
-            is_action,
-            False,
-            jnp.where(
-                is_and_top,
-                True,
-                jnp.where(
-                    is_before,
-                    a_prior | (a_status == S_SUCCESS) | strict_top,
-                    ~b_prior,
-                ),
-            ),
+        b_called = (
+            is_and_top
+            | (is_before & (a_prior | (a_status == S_SUCCESS) | strict_top))
+            | (is_after & ~b_prior)
         )
         called = [
             a_called & ~sub[0],
@@ -388,14 +377,13 @@ class BabyAIFusedExt(fx.FusedExt):
         new_mem = jnp.zeros_like(mem)
         for l in range(4):
             mu = called[l] & ~is_done_act
-            pre_none = jnp.where(mu, carrying_now_none, ((mem >> l) & 1) != 0)
-            pre_move = jnp.where(
-                mu, (carried & (1 << (2 * l))) != 0, ((mem >> (4 + l)) & 1) != 0
+            pre_none = (mu & carrying_now_none) | (~mu & (((mem >> l) & 1) != 0))
+            pre_move = (mu & ((carried & (1 << (2 * l))) != 0)) | (
+                ~mu & (((mem >> (4 + l)) & 1) != 0)
             )
-            lm = jnp.where(
-                done_mode & mu,
-                raw_status[l] == S_SUCCESS,
-                ((mem >> (8 + l)) & 1) != 0,
+            dmu = done_mode & mu
+            lm = (dmu & (raw_status[l] == S_SUCCESS)) | (
+                ~dmu & (((mem >> (8 + l)) & 1) != 0)
             )
             ss = sub[l] | (called[l] & (leaf_status[l] == S_SUCCESS))
             new_mem = (
