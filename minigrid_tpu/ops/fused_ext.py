@@ -106,6 +106,13 @@ class FusedExt:
 
     n_scalars: int = 0  # int32[*S] per-env extra scalars carried in VMEM
     n_planes: int = 0  # int32[WH, *S] per-env extra planes carried in VMEM
+    # True when pre_step below is a faithful twin of the family's _pre_step
+    # (pre-action dynamics, e.g. the Dynamic-Obstacles walk); families whose
+    # _pre_step draws randomness must use the counter-based stream from
+    # ops/prng.py (threefry2x32 over (step_count, i) with an episode-fixed
+    # seed carried in the packed scalars) — the kernel does not thread the
+    # jax.random split chain.
+    covers_pre_step: bool = False
 
     def pack_extra(self, env, extra):
         """extra pytree (leaves [..., inner]) ->
@@ -119,6 +126,13 @@ class FusedExt:
     def map_action(self, env, a):
         """Block twin of ``_map_action`` ([*S] int32 -> [*S] int32)."""
         return a
+
+    def pre_step(self, env, W, H, g, c, sc, scal, planes, action):
+        """Block twin of ``_pre_step``: dynamics that run before the agent's
+        action.  ``g``/``c``: int32[WH, *S]; ``sc``: dict ROW_* -> [*S] (the
+        PRE-step scalars — step_count not yet incremented); returns the
+        (possibly updated) ``(g, c, sc, scal, planes)``."""
+        return g, c, sc, scal, planes
 
     def post_step(self, ctx: FusedCtx):
         """Block twin of ``_post_step``.

@@ -359,6 +359,13 @@ def _rollout_kernel(
         sc = {r: sc_t[r] for r in range(NUM_SC)}
         action = actions_ref[0, t]
 
+        if ext is not None:
+            # Pre-action dynamics (e.g. the Dynamic-Obstacles walk); runs
+            # before the core step, exactly like step_env's _pre_step call
+            # (core/env.py:112-121).
+            g, c, sc, scal, planes = ext.pre_step(
+                env, W, H, g, c, sc, scal, planes, action
+            )
         g_prev, sc_prev = g, sc
         mapped = ext.map_action(env, action) if ext is not None else action
         g, c, sc, reward, aux = _step_block(g, c, sc, mapped, W=W, H=H)
@@ -484,13 +491,13 @@ def supports_fused(env) -> bool:
     from minigrid_tpu.core.env import MiniGridEnv
 
     cls = type(env)
-    if getattr(env, "fused_ext", None) is not None:
-        # The ext covers _map_action/_post_step; _pre_step and observation
-        # must still be the defaults (no ext carries pre-step dynamics yet).
-        return (
-            cls._pre_step is MiniGridEnv._pre_step
-            and cls.observation is MiniGridEnv.observation
-        )
+    ext = getattr(env, "fused_ext", None)
+    if ext is not None:
+        # The ext covers _map_action/_post_step, and _pre_step too when it
+        # declares covers_pre_step (block twin of the pre-action dynamics);
+        # observation must still be the default.
+        pre_ok = ext.covers_pre_step or cls._pre_step is MiniGridEnv._pre_step
+        return pre_ok and cls.observation is MiniGridEnv.observation
     return (
         cls._pre_step is MiniGridEnv._pre_step
         and cls._post_step is MiniGridEnv._post_step

@@ -180,6 +180,21 @@ def test_fused_ext_redbluedoors():
     run_equivalence("MiniGrid-RedBlueDoors-6x6-v0", t=12, max_steps=10, seed=8)
 
 
+def test_fused_ext_dynamicobstacles():
+    # The pre-step family: the in-kernel obstacle walk (counter-based
+    # threefry stream, ops/prng.py) must match the XLA _pre_step draw for
+    # draw — positions, grid writes, collision penalties, and the walk_seed/
+    # front_not_clear carried through auto-reset blends.
+    done = run_equivalence(
+        "MiniGrid-Dynamic-Obstacles-5x5-v0", t=24, max_steps=9, seed=9
+    )
+    assert done > 0
+
+
+def test_fused_ext_dynamicobstacles_8x8():
+    run_equivalence("MiniGrid-Dynamic-Obstacles-8x8-v0", t=12, seed=4)
+
+
 def test_fused_ext_memory_map_action():
     # MemoryEnv remaps pickup->toggle (_map_action) and terminates on the
     # success/failure hallway cells.

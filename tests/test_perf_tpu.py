@@ -1,13 +1,18 @@
-"""Opt-in TPU perf-regression lane with TREND-BASED floors.
+"""Opt-in TPU perf-regression lane with TREND-BASED floors over EVERY
+tracked metric.
 
 Round-2's fixed floors sat 2.5x below the measured numbers, so a -7.7%
-regression (DoorKey, round 2) sailed through.  Floors now derive from the
-last measured numbers on the real chip (tools/perf_trend.json, refreshed
-with ``python tools/profiler.py trend`` after perf work): each metric must
-stay above ``TREND_RATIO`` of its last recorded value.  The ratio is 0.6 —
-tight enough to catch any real regression bigger than the axon tunnel's
-run-to-run drift (best-of-N rejects most of it; tools/perf_interleave.py
-measured up to 2x single-run drift), and 4x tighter than the old pads.
+regression (DoorKey, round 2) sailed through; round 3's floors covered only
+5 of ~13 metrics, so LavaCrossing slipped -2.7% unwatched.  Floors now
+derive from the last measured numbers on the real chip
+(tools/perf_trend.json, refreshed with ``python tools/profiler.py trend``
+after perf work) and the test list is GENERATED from the same metric
+registry the refresh uses (tools/profiler.TREND_METRICS) — a metric cannot
+be tracked without being floored.  Each metric must stay above
+``TREND_RATIO`` of its last recorded value; 0.6 is tight enough to catch
+any real regression bigger than the axon tunnel's run-to-run drift
+(best-of-N rejects most of it; tools/perf_interleave.py measured up to 2x
+single-run drift).
 
 Run with ``RUN_TPU_PERF=1 python -m pytest tests/test_perf_tpu.py`` on a
 machine with a real TPU attached.
@@ -17,7 +22,7 @@ from __future__ import annotations
 
 import json
 import os
-import time
+import sys
 
 import pytest
 
@@ -26,13 +31,14 @@ pytestmark = pytest.mark.skipif(
     reason="TPU perf lane: set RUN_TPU_PERF=1 on a TPU machine",
 )
 
-N, T = 65536, 256
 TREND_RATIO = 0.6
-TREND_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "tools",
-    "perf_trend.json",
+TOOLS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
 )
+TREND_PATH = os.path.join(TOOLS_DIR, "perf_trend.json")
+
+sys.path.insert(0, TOOLS_DIR)
+from profiler import TREND_METRICS, ppo_times  # noqa: E402
 
 
 def _trend():
@@ -47,71 +53,42 @@ def _require_tpu():
         pytest.skip("no TPU device")
 
 
-def _best_of(fn, reps=5):
-    import jax
-
-    jax.block_until_ready(fn())  # compile
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def _rollout_sps(env_id, seed=0):
-    import jax
-
-    import minigrid_tpu as mg
-    from minigrid_tpu.parallel.vector import rollout_random
-
-    env = mg.make(env_id)
-    key = jax.random.PRNGKey(seed)
-    _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(key, N))
-    return N * T / _best_of(lambda: rollout_random(env, states, key, T))
-
-
-def _assert_trend(key, sps):
-    floor = TREND_RATIO * _trend()[key]
-    assert sps > floor, (
-        f"{key} regressed: {sps/1e6:.0f}M < {floor/1e6:.0f}M "
-        f"(= {TREND_RATIO} x last measured {_trend()[key]/1e6:.0f}M; "
+def _assert_trend(key, value):
+    trend = _trend()
+    assert key in trend, (
+        f"{key} has no recorded trend value — run `python tools/profiler.py "
+        f"trend` on the TPU box to establish the floor"
+    )
+    floor = TREND_RATIO * trend[key]
+    assert value > floor, (
+        f"{key} regressed: {value/1e6:.1f}M < {floor/1e6:.1f}M "
+        f"(= {TREND_RATIO} x last measured {trend[key]/1e6:.1f}M; "
         f"refresh tools/perf_trend.json via profiler.py trend if this is an "
         f"accepted change)"
     )
 
 
-def test_empty8x8_rollout_trend():
+@pytest.mark.parametrize("metric", sorted(TREND_METRICS))
+def test_metric_trend(metric):
     _require_tpu()
-    _assert_trend("empty8x8_rollout_sps", _rollout_sps("MiniGrid-Empty-8x8-v0"))
+    _assert_trend(metric, TREND_METRICS[metric]())
 
 
-def test_doorkey_rollout_trend():
+def test_ppo_trend():
+    """Single-dispatch and marginal PPO rates share one measurement (the
+    marginal differencing reuses the compiled program)."""
     _require_tpu()
-    _assert_trend("doorkey8x8_rollout_sps", _rollout_sps("MiniGrid-DoorKey-8x8-v0", seed=1))
-
-
-def test_fourrooms_rollout_trend():
-    _require_tpu()
-    _assert_trend("fourrooms_rollout_sps", _rollout_sps("MiniGrid-FourRooms-v0", seed=2))
-
-
-def test_obs_consumed_trend():
-    _require_tpu()
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(TREND_PATH)))
-    from profiler import obs_sps
-
-    _assert_trend("obs_consumed_sps", obs_sps("MiniGrid-Empty-8x8-v0", N, T))
-
-
-def test_ppo_marginal_trend():
-    _require_tpu()
-    import sys
-
-    sys.path.insert(0, os.path.join(os.path.dirname(TREND_PATH)))
-    from profiler import ppo_times
-
-    _, marg = ppo_times()
+    t1, marg = ppo_times()
+    _assert_trend("ppo_sps_single_dispatch", 8192 * 128 / t1)
     _assert_trend("ppo_sps_marginal", 8192 * 128 / marg)
+
+
+def test_trend_file_covers_registry():
+    """Every registry metric has a floor on file, so a metric added without
+    refreshing the trend file fails the lane immediately."""
+    trend = _trend()
+    missing = [k for k in TREND_METRICS if k not in trend]
+    assert not missing, (
+        f"metrics without floors: {missing}; run profiler.py trend on the "
+        f"TPU box and commit tools/perf_trend.json"
+    )
