@@ -171,6 +171,47 @@ def _ppo_steps_per_sec(num_envs: int = 8192, rollout_steps: int = 128):
         return None, None
 
 
+def _impala_steps_per_sec(num_envs: int = 8192, rollout_steps: int = 128):
+    """End-to-end IMPALA env-steps/s (rollout + V-trace + minibatched
+    update), marginal via the same scanned differencing as the PPO metric
+    (VERDICT r3 item 7: the learner surface deserves the same tracking)."""
+    try:
+        from minigrid_tpu.rl.impala import IMPALAConfig, make_impala
+
+        env = mg.make("MiniGrid-Empty-8x8-v0")
+        init_fn, train_step = make_impala(
+            env, IMPALAConfig(rollout_steps=rollout_steps)
+        )
+        state = init_fn(jax.random.PRNGKey(13), num_envs)
+
+        def multi(k):
+            @jax.jit
+            def run(s):
+                def body(ss, _):
+                    ss, mm = train_step(ss)
+                    return ss, mm["pg_loss"]
+
+                ss, losses = jax.lax.scan(body, s, None, length=k)
+                return losses.sum()
+
+            return run
+
+        times = {}
+        for k in (4, 8):
+            f = multi(k)
+            jax.block_until_ready(f(state))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(f(state))
+                best = min(best, time.perf_counter() - t0)
+            times[k] = best
+        return num_envs * rollout_steps / ((times[8] - times[4]) / 4)
+    except Exception as exc:
+        print(f"# impala metric failed: {exc!r}", file=sys.stderr)
+        return None
+
+
 def main():
     env = mg.make("MiniGrid-Empty-8x8-v0")
     key = jax.random.PRNGKey(0)
@@ -270,6 +311,10 @@ def main():
     if ppo is not None:
         result["ppo_env_steps_per_sec"] = round(ppo)
         result["ppo_env_steps_per_sec_single_dispatch"] = round(ppo_single)
+
+    impala = _impala_steps_per_sec()
+    if impala is not None:
+        result["impala_env_steps_per_sec"] = round(impala)
 
     wfc = _wfc_levels_per_sec()
     if wfc is not None:

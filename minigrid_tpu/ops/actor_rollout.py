@@ -39,8 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from minigrid_tpu.core.constants import NUM_COLORS, NUM_OBJECTS
 from minigrid_tpu.core.state import MISSION_DIM
+from minigrid_tpu.ops.embed_dense import CELL_F, DIR_F, write_onehot
 from minigrid_tpu.ops.fused_rollout import (
     NUM_SC,
     ROW_AX,
@@ -55,8 +55,6 @@ from minigrid_tpu.ops.fused_rollout import (
 )
 
 B = 1024  # envs per block (lane-major rows of [*, B])
-CELL_F = 24  # per-cell one-hot rows, NUM_OBJECTS+NUM_COLORS+3 = 20 padded to 24
-DIR_F = 8  # direction one-hot rows (4 padded to 8)
 NA = 7  # actions; logits+value pack into one 8-row head
 
 
@@ -98,23 +96,11 @@ def _policy_block(obs_rows, d, w1t, b1, w2t, b2, wh, bh, oh_s, *, V):
     direction [B] -> (logits f32[8, B] with row 7 = value).
 
     The one-hot feature matrix is built straight into its matmul layout
-    [F1, B]: per view cell a [24, B] comparison block (rows: type, color,
-    state one-hots + pad) written to sublane-aligned scratch rows.
+    [F1, B] by the shared builder (ops/embed_dense.write_onehot): per view
+    cell a [24, B] comparison block (rows: type, color, state one-hots +
+    pad) written to sublane-aligned scratch rows.
     """
-    f = jax.lax.broadcasted_iota(jnp.int32, (CELL_F, 1), 0)
-    t_tgt = f
-    c_tgt = f - NUM_OBJECTS
-    s_tgt = f - NUM_OBJECTS - NUM_COLORS
-    for slot, pv in enumerate(obs_rows):
-        t = (pv & 0xFF)[None, :]  # [1, B]
-        c = ((pv >> 8) & 0xFF)[None, :]
-        s = jnp.clip((pv >> 16) & 0xFF, 0, 2)[None, :]
-        val = jnp.where(f < NUM_OBJECTS, t, jnp.where(f < NUM_OBJECTS + NUM_COLORS, c, s))
-        tgt = jnp.where(f < NUM_OBJECTS, t_tgt, jnp.where(f < NUM_OBJECTS + NUM_COLORS, c_tgt, s_tgt))
-        oh = ((val == tgt) & (f < NUM_OBJECTS + NUM_COLORS + 3)).astype(jnp.bfloat16)
-        oh_s[pl.ds(slot * CELL_F, CELL_F), :] = oh
-    fd = jax.lax.broadcasted_iota(jnp.int32, (DIR_F, 1), 0)
-    oh_s[pl.ds(V * V * CELL_F, DIR_F), :] = (fd == d[None, :]).astype(jnp.bfloat16)
+    write_onehot(obs_rows, d, oh_s, V=V)
 
     h1 = jnp.dot(w1t, oh_s[:, :], preferred_element_type=jnp.float32) + b1
     h1 = jnp.maximum(h1, 0.0).astype(jnp.bfloat16)

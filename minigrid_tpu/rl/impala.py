@@ -124,10 +124,10 @@ def make_impala(
     def policy_apply(params, packed_obs, direction):
         return model.apply(params, packed_obs, direction, packed=True)
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, apply_fn=policy_apply):
         obs, direction, action, behavior_logp, reward, done, boot_obs, boot_dir = batch
-        logits, values = policy_apply(params, obs, direction)
-        _, boot_value = policy_apply(params, boot_obs, boot_dir)
+        logits, values = apply_fn(params, obs, direction)
+        _, boot_value = apply_fn(params, boot_obs, boot_dir)
         logp_all = jax.nn.log_softmax(logits)
         target_logp = jnp.sum(
             jnp.where(
@@ -177,6 +177,21 @@ def make_impala(
         )
         mb_t = num_steps // config.num_minibatches
 
+        # First layer through the fused embed+dense1 kernel when eligible
+        # (same gate as rl/ppo.py: single TPU device, block-divisible
+        # sample counts for both the minibatch and the bootstrap batch).
+        from minigrid_tpu.ops.embed_dense import supports_embed_dense1
+        from minigrid_tpu.rl.model import apply_packed_fused
+
+        num_envs_b = traj.obs.shape[1]
+        use_fused_embed = (
+            mesh is None
+            and jax.device_count() == 1
+            and supports_embed_dense1(mb_t * num_envs_b)
+            and supports_embed_dense1(num_envs_b)
+        )
+        apply_fn = apply_packed_fused if use_fused_embed else policy_apply
+
         data = (traj.obs, traj.direction, traj.action, traj.logp,
                 traj.reward, traj.done)
 
@@ -208,7 +223,7 @@ def make_impala(
                     last_dir,
                 )
                 grads, aux = jax.grad(loss_fn, has_aux=True)(
-                    params, sl + (boot_obs, boot_dir)
+                    params, sl + (boot_obs, boot_dir), apply_fn
                 )
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)

@@ -77,6 +77,46 @@ def embed_obs_packed(packed: jnp.ndarray, direction: jnp.ndarray) -> jnp.ndarray
     return _onehot_feats(p & 0xFF, (p >> 8) & 0xFF, (p >> 16) & 0xFF, direction, v2)
 
 
+def apply_packed_fused(params, packed, direction, interpret: bool = False):
+    """ActorCritic forward on PACKED observations with the first layer run
+    through the fused embed+dense1 Pallas kernel (ops/embed_dense.py) —
+    the one-hot feature tensor never touches HBM.
+
+    Mirrors ``ActorCritic.apply(params, packed, direction, packed=True)``
+    layer by layer on the raw param tree (same tree — parameters are
+    interchangeable); agrees up to bf16 rounding (tests/test_embed_dense.py).
+    ``packed`` may carry leading batch dims; they are flattened for the
+    kernel and restored on the outputs.
+    """
+    from minigrid_tpu.ops.embed_dense import embed_dense1
+
+    p = params["params"]
+    lead = packed.shape[:-1]
+    v2 = packed.shape[-1]
+    m = 1
+    for s in lead:
+        m *= s
+    x = embed_dense1(
+        p["Dense_0"]["kernel"],
+        p["Dense_0"]["bias"],
+        packed.reshape(m, v2),
+        direction.reshape(m),
+        int(round(v2**0.5)),
+        interpret=interpret,
+    )
+    x = nn.relu(x)
+    w2 = p["Dense_1"]["kernel"].astype(jnp.bfloat16)
+    b2 = p["Dense_1"]["bias"].astype(jnp.bfloat16)
+    x = nn.relu(jnp.dot(x, w2) + b2)
+    xf = x.astype(jnp.float32)
+    logits = jnp.dot(xf, p["Dense_2"]["kernel"]) + p["Dense_2"]["bias"]
+    value = jnp.dot(xf, p["Dense_3"]["kernel"]) + p["Dense_3"]["bias"]
+    return (
+        logits.reshape(lead + (logits.shape[-1],)),
+        value[..., 0].reshape(lead),
+    )
+
+
 class ActorCritic(nn.Module):
     """MLP torso with policy and value heads; bf16 compute, f32 params.
 

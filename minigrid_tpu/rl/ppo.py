@@ -108,25 +108,31 @@ def make_ppo(
         )
 
     def gae(values, rewards, dones, last_value):
-        def body(carry, inp):
-            adv_next, v_next = carry
-            value, reward, done = inp
-            nonterm = 1.0 - done.astype(jnp.float32)
-            delta = reward + config.gamma * v_next * nonterm - value
-            adv = delta + config.gamma * config.gae_lambda * nonterm * adv_next
-            return (adv, value), adv
+        # adv_t = delta_t + c_t * adv_{t+1} with c_t = gamma*lambda*nonterm_t
+        # is an affine recurrence; jax.lax.associative_scan evaluates it in
+        # log2(T) composition rounds of [T, N]-wide elementwise work instead
+        # of T sequential [N]-wide steps (the T=128 sequential scan cost
+        # ~1.5 ms of launch-bound time per update on-chip).
+        nonterm = 1.0 - dones.astype(jnp.float32)
+        next_values = jnp.concatenate([values[1:], last_value[None]], axis=0)
+        delta = rewards + config.gamma * next_values * nonterm - values
+        coef = config.gamma * config.gae_lambda * nonterm
 
-        (_, _), advs = jax.lax.scan(
-            body,
-            (jnp.zeros_like(last_value), last_value),
-            (values, rewards, dones),
-            reverse=True,
+        def compose(a, b):
+            # associative_scan(reverse=True) passes the LATER-index suffix as
+            # ``a``; composing f_b (outer) with f_a (inner): x -> b_b + A_b*
+            # (b_a + A_a*x).  Verified element-exact (to f32 re-association)
+            # against the sequential recurrence in tests/test_ppo_learning.py.
+            return a[0] * b[0], b[1] + b[0] * a[1]
+
+        _, advs = jax.lax.associative_scan(
+            compose, (coef, delta), reverse=True, axis=0
         )
         return advs
 
-    def loss_fn(params, batch):
+    def loss_fn(params, batch, apply_fn=policy_apply):
         obs, direction, action, old_logp, adv, target = batch
-        logits, value = policy_apply(params, obs, direction)
+        logits, value = apply_fn(params, obs, direction)
         logp_all = jax.nn.log_softmax(logits)
         logp = jnp.sum(
             jnp.where(
@@ -145,12 +151,15 @@ def make_ppo(
         loss = pg + config.value_coef * v_loss - config.entropy_coef * entropy
         return loss, (pg, v_loss, entropy)
 
-    def train_step(state: TrainState):
-        env_states, key, traj = rollout(state.params, state.env_states, state.key)
+    def update(params, opt_state, key, env_states, traj):
+        """GAE + minibatched clipped-surrogate update on a collected
+        trajectory; the learner phase of ``train_step``, exposed separately
+        (as ``train_step.update``) for phase profiling and the overlapped
+        dispatch pipeline."""
         obs, direction, action, logp, value, reward, done = traj
         v = env.agent_view_size
         last_obs = jax.vmap(lambda s: env.observation_packed(s).reshape(v * v))(env_states)
-        _, last_value = policy_apply(state.params, last_obs, env_states.agent_dir)
+        _, last_value = policy_apply(params, last_obs, env_states.agent_dir)
         adv = gae(value, reward, done, last_value)
         target = adv + value
         # Minibatches are CONTIGUOUS TIME slices of the time-major trajectory:
@@ -171,6 +180,21 @@ def make_ppo(
         )
         mb_t = num_steps // config.num_minibatches
 
+        # First layer through the fused embed+dense1 kernel when eligible
+        # (single TPU device, block-divisible sample count): the one-hot
+        # feature tensor stays in VMEM instead of costing ~6 GB of HBM
+        # traffic per update (ops/embed_dense.py).
+        from minigrid_tpu.ops.embed_dense import supports_embed_dense1
+        from minigrid_tpu.rl.model import apply_packed_fused
+
+        num_envs = obs.shape[1]
+        use_fused_embed = (
+            mesh is None
+            and jax.device_count() == 1
+            and supports_embed_dense1(mb_t * num_envs)
+        )
+        apply_fn = apply_packed_fused if use_fused_embed else policy_apply
+
         def run_epoch(carry, _):
             params, opt_state, key = carry
 
@@ -185,7 +209,9 @@ def make_ppo(
                     ),
                     data,
                 )
-                grads, aux = jax.grad(loss_fn, has_aux=True)(params, batch)
+                grads, aux = jax.grad(loss_fn, has_aux=True)(
+                    params, batch, apply_fn
+                )
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
                 return (params, opt_state), aux
@@ -197,7 +223,7 @@ def make_ppo(
 
         (params, opt_state, key), auxes = jax.lax.scan(
             run_epoch,
-            (state.params, state.opt_state, key),
+            (params, opt_state, key),
             None,
             length=config.update_epochs,
         )
@@ -209,8 +235,18 @@ def make_ppo(
             "reward_per_step": reward.mean(),
             "episodes": done.sum(),
         }
+        return params, opt_state, key, metrics
+
+    def train_step(state: TrainState):
+        env_states, key, traj = rollout(state.params, state.env_states, state.key)
+        params, opt_state, key, metrics = update(
+            state.params, state.opt_state, key, env_states, traj
+        )
         return TrainState(params, opt_state, env_states, key), metrics
 
+    train_step.rollout = rollout
+    train_step.update = update
+    train_step.gae = gae
     return init_fn, train_step
 
 

@@ -55,3 +55,48 @@ def test_make_train_scanned_loop():
     assert metrics["reward_per_step"].shape == (4,)
     assert np.isfinite(np.asarray(metrics["pg_loss"])).all()
     assert int(state.env_states.step_count.shape[0]) == 32
+
+
+def test_gae_associative_matches_sequential():
+    """The associative-scan GAE (rl/ppo.py gae) must reproduce the textbook
+    sequential recurrence adv_t = delta_t + gamma*lambda*nonterm_t*adv_{t+1}
+    element-for-element (up to f32 re-association)."""
+    import jax.numpy as jnp
+
+    gamma, lam = 0.99, 0.95
+    T, N = 32, 16
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 4)
+    values = jax.random.normal(ks[0], (T, N))
+    rewards = jax.random.normal(ks[1], (T, N))
+    dones = jax.random.bernoulli(ks[2], 0.25, (T, N))
+    last_value = jax.random.normal(ks[3], (N,))
+
+    def seq(values, rewards, dones, last_value):
+        def body(carry, inp):
+            adv_next, v_next = carry
+            value, reward, done = inp
+            nonterm = 1.0 - done.astype(jnp.float32)
+            delta = reward + gamma * v_next * nonterm - value
+            adv = delta + gamma * lam * nonterm * adv_next
+            return (adv, value), adv
+
+        _, advs = jax.lax.scan(
+            body,
+            (jnp.zeros_like(last_value), last_value),
+            (values, rewards, dones),
+            reverse=True,
+        )
+        return advs
+
+    env = mg.make("MiniGrid-Empty-5x5-v0")
+    _, train_step = make_ppo(
+        env, PPOConfig(gamma=gamma, gae_lambda=lam, rollout_steps=T)
+    )
+    advs = train_step.gae(values, rewards, dones, last_value)
+    np.testing.assert_allclose(
+        np.asarray(seq(values, rewards, dones, last_value)),
+        np.asarray(advs),
+        rtol=2e-4,
+        atol=1e-5,
+    )

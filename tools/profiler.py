@@ -136,6 +136,78 @@ def ppo_times(num_envs: int = 8192, rollout_steps: int = 128):
     return t1, (t8 - t4) / 4
 
 
+def ppo_breakdown(num_envs: int = 8192, rollout_steps: int = 128):
+    """Marginal per-phase times (seconds) of one PPO train step at the
+    north-star config: rollout (fused actor kernel), update (GAE + 8
+    minibatches), and the whole step — each from scanned differencing
+    ((t(8)-t(4))/4) so the tunnel's fixed dispatch cost cancels."""
+    import jax
+    import jax.numpy as jnp
+
+    import minigrid_tpu as mg
+    from minigrid_tpu.rl.ppo import PPOConfig, make_ppo
+
+    env = mg.make("MiniGrid-Empty-8x8-v0")
+    init_fn, train_step = make_ppo(env, PPOConfig(rollout_steps=rollout_steps))
+    state = init_fn(jax.random.PRNGKey(11), num_envs)
+
+    def marginal(step_fn, init_carry):
+        def multi(k):
+            @jax.jit
+            def run(c):
+                def body(cc, _):
+                    cc, out = step_fn(cc)
+                    return cc, out
+
+                cc, outs = jax.lax.scan(body, c, None, length=k)
+                return jax.tree.map(
+                    lambda x: x.sum() if hasattr(x, "sum") else x, outs
+                )
+
+            return run
+
+        t4 = _bench(multi(4), init_carry, reps=3)
+        t8 = _bench(multi(8), init_carry, reps=3)
+        return (t8 - t4) / 4
+
+    def roll_step(carry):
+        env_states, key = carry
+        env_states, key, traj = train_step.rollout(
+            state.params, env_states, key
+        )
+        return (env_states, key), traj.logp.sum()
+
+    t_roll = marginal(roll_step, (state.env_states, state.key))
+
+    # One real trajectory to feed the update phase repeatedly.
+    env_states, key, traj = jax.jit(
+        lambda s: train_step.rollout(s.params, s.env_states, s.key)
+    )(state)
+
+    def upd_step(carry):
+        params, opt_state, k = carry
+        params, opt_state, k, metrics = train_step.update(
+            params, opt_state, k, env_states, traj
+        )
+        return (params, opt_state, k), metrics["pg_loss"]
+
+    t_upd = marginal(upd_step, (state.params, state.opt_state, key))
+
+    def full_step(carry):
+        carry, m = jax.jit(train_step)(carry)
+        return carry, m["pg_loss"]
+
+    t_full = marginal(full_step, state)
+    return {
+        "rollout_s": t_roll,
+        "update_s": t_upd,
+        "full_s": t_full,
+        "sps_full": num_envs * rollout_steps / t_full,
+        "sps_if_rollout_only": num_envs * rollout_steps / t_roll,
+        "sps_if_update_only": num_envs * rollout_steps / t_upd,
+    }
+
+
 def wfc_levels_per_sec(preset: str = "MazeSimple", batch: int = 64):
     import jax
     import jax.numpy as jnp
@@ -238,7 +310,10 @@ def refresh_trend():
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("mode", choices=["rollout", "obs", "ppo", "wfc", "rtt", "trend"])
+    ap.add_argument(
+        "mode",
+        choices=["rollout", "obs", "ppo", "ppo-breakdown", "wfc", "rtt", "trend"],
+    )
     ap.add_argument("--env", default="MiniGrid-Empty-8x8-v0")
     ap.add_argument("--num-envs", type=int, default=65536)
     ap.add_argument("--num-steps", type=int, default=256)
@@ -260,6 +335,15 @@ def main():
         print(
             f"single dispatch {t1*1e3:.1f} ms ({8192*128/t1/1e6:.1f}M steps/s); "
             f"marginal {marg*1e3:.1f} ms ({8192*128/marg/1e6:.1f}M steps/s)"
+        )
+    elif args.mode == "ppo-breakdown":
+        b = ppo_breakdown()
+        print(
+            f"rollout {b['rollout_s']*1e3:.1f} ms "
+            f"({b['sps_if_rollout_only']/1e6:.1f}M sps) | "
+            f"update {b['update_s']*1e3:.1f} ms "
+            f"({b['sps_if_update_only']/1e6:.1f}M sps) | "
+            f"full {b['full_s']*1e3:.1f} ms ({b['sps_full']/1e6:.1f}M sps)"
         )
     elif args.mode == "wfc":
         print(f"{args.preset}: {wfc_levels_per_sec(args.preset):.1f} levels/s")
