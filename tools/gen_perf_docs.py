@@ -1,0 +1,99 @@
+"""Generate docs/content/performance.md — the round-over-round perf table.
+
+Reads the driver bench artifacts (BENCH_r*.json at the repo root; each holds
+the JSON line bench.py printed on the real TPU v5e chip that round) and
+renders one auditable markdown table: metrics as rows, rounds as columns.
+Run after each bench refresh:
+
+    python tools/gen_perf_docs.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(ROOT, "docs", "content", "performance.md")
+
+# (bench key, label, scale) — display order.  Scale "M" renders millions.
+METRICS = [
+    ("value", "Empty-8x8 raw rollout (headline)", "M"),
+    ("obs_consumed_steps_per_sec", "Obs-consumed rollout (fused kernel)", "M"),
+    ("obs_consumed_xla_steps_per_sec", "Obs-consumed rollout (XLA fallback)", "M"),
+    ("empty5x5_steps_per_sec", "Empty-5x5", "M"),
+    ("empty_random5x5_steps_per_sec", "Empty-Random-5x5", "M"),
+    ("doorkey8x8_steps_per_sec", "DoorKey-8x8", "M"),
+    ("fourrooms_steps_per_sec", "FourRooms", "M"),
+    ("lavacrossing_s9n2_steps_per_sec", "LavaCrossingS9N2", "M"),
+    ("dynamic_obstacles8x8_steps_per_sec", "Dynamic-Obstacles-8x8", "M"),
+    ("babyai_gotolocal_steps_per_sec", "BabyAI-GoToLocal", "M"),
+    ("obstructed_maze_2dlh_steps_per_sec", "ObstructedMaze-2Dlh", "M"),
+    ("ppo_env_steps_per_sec", "PPO end-to-end (marginal)", "M"),
+    ("ppo_env_steps_per_sec_single_dispatch", "PPO (single dispatch)", "M"),
+    ("impala_env_steps_per_sec", "IMPALA end-to-end (marginal)", "M"),
+    ("wfc_mazesimple_levels_per_sec", "WFC MazeSimple levels/s", ""),
+    ("scaling_efficiency", "Modeled 8-device scaling efficiency", ""),
+]
+
+
+def load_rounds():
+    rounds = {}
+    for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if not m:
+            continue
+        with open(path) as f:
+            data = json.load(f)
+        parsed = data.get("parsed")
+        if parsed:
+            rounds[int(m.group(1))] = parsed
+    return rounds
+
+
+def fmt(value, scale):
+    if value is None:
+        return "—"
+    if scale == "M":
+        return f"{value / 1e6:.1f}M"
+    if isinstance(value, float):
+        return f"{value:g}"
+    return str(value)
+
+
+def main():
+    rounds = load_rounds()
+    ns = sorted(rounds)
+    lines = [
+        "# Performance",
+        "",
+        "Round-over-round throughput on one TPU v5e chip (driver-recorded",
+        "`BENCH_r*.json`; units are env-steps/s unless noted, `—` = not yet",
+        "tracked that round).  The measurement methodology lives in",
+        "`bench.py` (best-of-N timed rollouts, scanned-differencing marginal",
+        "rates for the learners) and the regression floors in",
+        "`tools/perf_trend.json` + `tests/test_perf_tpu.py`.",
+        "",
+        "| Metric | " + " | ".join(f"r{n}" for n in ns) + " |",
+        "|---|" + "---|" * len(ns),
+    ]
+    for key, label, scale in METRICS:
+        row = [fmt(rounds[n].get(key), scale) for n in ns]
+        lines.append(f"| {label} | " + " | ".join(row) + " |")
+    lines += [
+        "",
+        "The north-star target (BASELINE.md) is ≥50M env-steps/s per host on",
+        "Empty-8x8 with bit-exact trajectory parity, and ≥80% multi-host",
+        "scaling efficiency; the reference publishes no numbers of its own",
+        "(its `minigrid/benchmark.py` is a measurement tool only).",
+        "",
+    ]
+    with open(OUT, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {OUT} ({len(ns)} rounds)")
+
+
+if __name__ == "__main__":
+    main()
