@@ -27,6 +27,9 @@ import jax.numpy as jnp
 
 import minigrid_tpu as mg
 from minigrid_tpu.parallel.vector import rollout_random
+from minigrid_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()
 
 NUM_ENVS = 65536
 NUM_STEPS = 256
@@ -142,6 +145,20 @@ def _ppo_steps_per_sec(num_envs: int = 8192, rollout_steps: int = 128):
             best = min(best, time.perf_counter() - t0)
         single = num_envs * rollout_steps / best
 
+        # Pipelined dispatch: 8 back-to-back async host dispatches, blocking
+        # only on the last result — how a real training loop drives the chip
+        # (JAX enqueues step k+1 while k executes, so the tunnel's ~30 ms RTT
+        # overlaps compute instead of being paid per step).
+        best_pipe = float("inf")
+        for _ in range(3):
+            s = state
+            t0 = time.perf_counter()
+            for _ in range(8):
+                s, m = step(s)
+            jax.block_until_ready(m["pg_loss"])
+            best_pipe = min(best_pipe, (time.perf_counter() - t0) / 8)
+        pipelined = num_envs * rollout_steps / best_pipe
+
         def multi(k):
             @jax.jit
             def run(s):
@@ -165,10 +182,10 @@ def _ppo_steps_per_sec(num_envs: int = 8192, rollout_steps: int = 128):
                 best = min(best, time.perf_counter() - t0)
             times[k] = best
         marginal = num_envs * rollout_steps / ((times[8] - times[4]) / 4)
-        return marginal, single
+        return marginal, single, pipelined
     except Exception as exc:
         print(f"# ppo metric failed: {exc!r}", file=sys.stderr)
-        return None, None
+        return None, None, None
 
 
 def _impala_steps_per_sec(num_envs: int = 8192, rollout_steps: int = 128):
@@ -307,10 +324,11 @@ def main():
             result[json_key] = None
             print(f"# {json_key} failed: {exc!r}", file=sys.stderr)
 
-    ppo, ppo_single = _ppo_steps_per_sec()
+    ppo, ppo_single, ppo_pipe = _ppo_steps_per_sec()
     if ppo is not None:
         result["ppo_env_steps_per_sec"] = round(ppo)
         result["ppo_env_steps_per_sec_single_dispatch"] = round(ppo_single)
+        result["ppo_env_steps_per_sec_pipelined"] = round(ppo_pipe)
 
     impala = _impala_steps_per_sec()
     if impala is not None:

@@ -19,12 +19,8 @@ jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: the default suite is compile-dominated (the
 # top test durations are all first-compiles of the fused Pallas kernels), so
-# a warm cache cuts repeat wall time by an order of magnitude.  The cache
-# lives outside the repo so `git clean` never invalidates it.
-_cache_dir = os.environ.get(
-    "MINIGRID_TPU_COMPILE_CACHE", os.path.expanduser("~/.cache/minigrid_tpu_xla")
-)
-os.makedirs(_cache_dir, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _cache_dir)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# a warm cache cuts repeat wall time by an order of magnitude (shared with
+# tools/profiler.py and bench.py via utils/compile_cache.py).
+from minigrid_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()

@@ -78,9 +78,10 @@ def test_ppo_trend():
     """Single-dispatch and marginal PPO rates share one measurement (the
     marginal differencing reuses the compiled program)."""
     _require_tpu()
-    t1, marg = ppo_times()
+    t1, marg, pipe = ppo_times()
     _assert_trend("ppo_sps_single_dispatch", 8192 * 128 / t1)
     _assert_trend("ppo_sps_marginal", 8192 * 128 / marg)
+    _assert_trend("ppo_sps_pipelined", 8192 * 128 / pipe)
 
 
 def test_trend_file_covers_registry():

@@ -33,17 +33,26 @@ import time
 # tools/.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from minigrid_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 
 def _bench(fn, *args, reps: int = 5):
     import jax
 
+    # Block on the WHOLE output tree: the first leaf alone can be a value
+    # that does not depend on the device computation (e.g. the re-keyed
+    # ``rng`` fold_in in fused_rollout's returned states), which turns the
+    # measurement into dispatch time — the round-4 FourRooms "155G steps/s"
+    # artifact.
     out = fn(*args)
-    jax.block_until_ready(jax.tree.leaves(out)[0])
+    jax.block_until_ready(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(jax.tree.leaves(out)[0])
+        jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -103,10 +112,14 @@ def obs_sps(env_id: str, num_envs: int, num_steps: int, fused: bool = True):
 
 
 def ppo_times(num_envs: int = 8192, rollout_steps: int = 128):
-    """(single_dispatch_s, marginal_s) per train step at the north-star
-    config.  The marginal cost comes from scanned-update differencing
-    ((t(8)-t(4))/4) — the per-update cost of a real training run, free of
-    the tunnel's fixed dispatch overhead."""
+    """(single_dispatch_s, marginal_s, pipelined_s) per train step at the
+    north-star config.  The marginal cost comes from scanned-update
+    differencing ((t(8)-t(4))/4) — the per-update cost of a real training
+    run, free of the tunnel's fixed dispatch+fetch overhead.  The pipelined
+    cost is a host loop of 8 back-to-back async dispatches blocking only on
+    the last result — how a real training loop drives the chip: JAX enqueues
+    step k+1 while step k executes, so the tunnel RTT overlaps compute and
+    is paid once, not per step."""
     import jax
 
     import minigrid_tpu as mg
@@ -118,6 +131,16 @@ def ppo_times(num_envs: int = 8192, rollout_steps: int = 128):
 
     step = jax.jit(train_step)
     t1 = _bench(lambda s: step(s)[1]["pg_loss"], state, reps=3)
+
+    k_pipe = 8
+    best_pipe = float("inf")
+    for _ in range(3):
+        s = state
+        t0 = time.perf_counter()
+        for _ in range(k_pipe):
+            s, m = step(s)
+        jax.block_until_ready(m["pg_loss"])
+        best_pipe = min(best_pipe, (time.perf_counter() - t0) / k_pipe)
 
     def multi(k):
         @jax.jit
@@ -133,7 +156,7 @@ def ppo_times(num_envs: int = 8192, rollout_steps: int = 128):
 
     t4 = _bench(multi(4), state, reps=3)
     t8 = _bench(multi(8), state, reps=3)
-    return t1, (t8 - t4) / 4
+    return t1, (t8 - t4) / 4, best_pipe
 
 
 def ppo_breakdown(num_envs: int = 8192, rollout_steps: int = 128):
@@ -198,13 +221,85 @@ def ppo_breakdown(num_envs: int = 8192, rollout_steps: int = 128):
         return carry, m["pg_loss"]
 
     t_full = marginal(full_step, state)
+
+    # Analytic MXU roofline (VERDICT r3 weak #3: "no stated MXU-utilization/
+    # roofline bound").  Model: Dense 984->256->256 + 8-row head; the actor
+    # kernel's padded layout is F1 = 49*24+8 = 1184.  Update = fwd+bwd (3x
+    # fwd FLOPs) over N*T samples; rollout = 1 padded fwd per collected step.
+    # Peak: TPU v5e bf16 MXU ~= 197 TFLOP/s.
+    H, F, F1, NA = 256, 984, 1184, 7
+    samples = num_envs * rollout_steps
+    fwd = 2 * (F * H + H * H + H * (NA + 1))
+    fwd_pad = 2 * (F1 * H + H * H + H * (NA + 1))
+    upd_flops = 3 * fwd * samples
+    roll_flops = fwd_pad * samples
+    peak = 197e12
     return {
         "rollout_s": t_roll,
         "update_s": t_upd,
         "full_s": t_full,
-        "sps_full": num_envs * rollout_steps / t_full,
-        "sps_if_rollout_only": num_envs * rollout_steps / t_roll,
-        "sps_if_update_only": num_envs * rollout_steps / t_upd,
+        "sps_full": samples / t_full,
+        "sps_if_rollout_only": samples / t_roll,
+        "sps_if_update_only": samples / t_upd,
+        "update_tflop": upd_flops / 1e12,
+        "rollout_tflop": roll_flops / 1e12,
+        "update_mxu_util": upd_flops / peak / t_upd,
+        "rollout_mxu_util": roll_flops / peak / t_roll,
+        "sps_roofline_sequential": samples / ((upd_flops + roll_flops) / peak),
+    }
+
+
+def babyai_ablate(env_id: str, num_envs: int, num_steps: int, resets: int = 2):
+    """Decompose an expensive-reset family's rollout cost (VERDICT r3 weak #6):
+    how much of the measured steps/s goes to reset-cache generation (runs once
+    per fused_rollout call: N*R level draws) vs the kernel itself (T in-VMEM
+    steps).  Returns a dict of seconds + the share, so round notes can say
+    whether the family is generation-bound or kernel-bound."""
+    import jax
+
+    import minigrid_tpu as mg
+    from minigrid_tpu.ops.fused_rollout import fused_rollout, fused_rollout_core
+
+    env = mg.make(env_id)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k1, num_envs))
+
+    cache_fn = jax.jit(
+        lambda k: env.batch_reset_cache(k, num_envs, resets), static_argnums=()
+    )
+    t_cache = _bench(cache_fn, k2, reps=3)
+    cache = cache_fn(k2)
+
+    import jax.numpy as jnp
+
+    actions = jax.random.randint(
+        k3, (num_steps, num_envs), 0, env.num_actions, jnp.int32
+    )
+    t_kernel = _bench(
+        lambda a: fused_rollout_core(env, states, cache, a, False)[1], actions, reps=3
+    )
+    t_full = _bench(
+        lambda k: fused_rollout(env, states, k, num_steps, resets, False)[1],
+        k3,
+        reps=3,
+    )
+    n_steps = num_envs * num_steps
+    # ``cache_s`` (generation jitted standalone) overstates the in-program
+    # cost: inside fused_rollout XLA fuses generation straight into the
+    # kernel's tiled layout, skipping the [N, R, ...] materialization the
+    # standalone program pays.  The honest generation share is therefore the
+    # inferred full-minus-kernel difference; standalone is an upper bound.
+    gen_in_full = max(t_full - t_kernel, 0.0)
+    return {
+        "cache_standalone_s": t_cache,
+        "kernel_s": t_kernel,
+        "full_s": t_full,
+        "gen_in_full_s": gen_in_full,
+        "gen_share_of_full": gen_in_full / t_full,
+        "sps_full": n_steps / t_full,
+        "sps_kernel_only": n_steps / t_kernel,
+        "levels_per_sec_gen": num_envs * resets / t_cache,
     }
 
 
@@ -293,9 +388,10 @@ def refresh_trend():
     out = {}
     for key, fn in TREND_METRICS.items():
         out[key] = round(fn(), 2 if "levels" in key else None)
-    t1, marg = ppo_times()
+    t1, marg, pipe = ppo_times()
     out["ppo_sps_single_dispatch"] = round(8192 * 128 / t1)
     out["ppo_sps_marginal"] = round(8192 * 128 / marg)
+    out["ppo_sps_pipelined"] = round(8192 * 128 / pipe)
     with open(TREND_PATH, "w") as f:
         json.dump(out, f, indent=1)
     history = []
@@ -312,7 +408,16 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "mode",
-        choices=["rollout", "obs", "ppo", "ppo-breakdown", "wfc", "rtt", "trend"],
+        choices=[
+            "rollout",
+            "obs",
+            "ppo",
+            "ppo-breakdown",
+            "babyai-ablate",
+            "wfc",
+            "rtt",
+            "trend",
+        ],
     )
     ap.add_argument("--env", default="MiniGrid-Empty-8x8-v0")
     ap.add_argument("--num-envs", type=int, default=65536)
@@ -328,22 +433,41 @@ def main():
         )
         print(f"{args.env}: {sps/1e6:.1f}M steps/s")
     elif args.mode == "obs":
-        sps = obs_sps(args.env, args.num_envs, args.num_steps)
+        sps = obs_sps(
+            args.env, args.num_envs, args.num_steps, fused=not args.no_fused
+        )
         print(f"{args.env} obs-consumed: {sps/1e6:.1f}M steps/s")
     elif args.mode == "ppo":
-        t1, marg = ppo_times()
+        t1, marg, pipe = ppo_times()
         print(
             f"single dispatch {t1*1e3:.1f} ms ({8192*128/t1/1e6:.1f}M steps/s); "
-            f"marginal {marg*1e3:.1f} ms ({8192*128/marg/1e6:.1f}M steps/s)"
+            f"marginal {marg*1e3:.1f} ms ({8192*128/marg/1e6:.1f}M steps/s); "
+            f"pipelined {pipe*1e3:.1f} ms ({8192*128/pipe/1e6:.1f}M steps/s)"
         )
     elif args.mode == "ppo-breakdown":
         b = ppo_breakdown()
         print(
             f"rollout {b['rollout_s']*1e3:.1f} ms "
-            f"({b['sps_if_rollout_only']/1e6:.1f}M sps) | "
+            f"({b['sps_if_rollout_only']/1e6:.1f}M sps, "
+            f"{b['rollout_tflop']:.2f} TFLOP @ "
+            f"{b['rollout_mxu_util']*100:.0f}% MXU) | "
             f"update {b['update_s']*1e3:.1f} ms "
-            f"({b['sps_if_update_only']/1e6:.1f}M sps) | "
-            f"full {b['full_s']*1e3:.1f} ms ({b['sps_full']/1e6:.1f}M sps)"
+            f"({b['sps_if_update_only']/1e6:.1f}M sps, "
+            f"{b['update_tflop']:.2f} TFLOP @ "
+            f"{b['update_mxu_util']*100:.0f}% MXU) | "
+            f"full {b['full_s']*1e3:.1f} ms ({b['sps_full']/1e6:.1f}M sps; "
+            f"100%-MXU sequential roofline "
+            f"{b['sps_roofline_sequential']/1e6:.1f}M)"
+        )
+    elif args.mode == "babyai-ablate":
+        b = babyai_ablate(args.env, args.num_envs, args.num_steps)
+        print(
+            f"{args.env}: full {b['sps_full']/1e6:.1f}M sps | gen in-program "
+            f"{b['gen_in_full_s']*1e3:.1f} ms "
+            f"({b['gen_share_of_full']*100:.0f}% of full; standalone "
+            f"{b['cache_standalone_s']*1e3:.1f} ms, "
+            f"{b['levels_per_sec_gen']/1e3:.1f}k levels/s) | kernel-only "
+            f"{b['sps_kernel_only']/1e6:.1f}M sps"
         )
     elif args.mode == "wfc":
         print(f"{args.preset}: {wfc_levels_per_sec(args.preset):.1f} levels/s")
