@@ -25,9 +25,17 @@ the XLA ``ActorCritic.apply(..., packed=True)`` up to bf16 rounding.
 Semantics = rl/rollout.collect_trajectory's reset-cache branch
 (core/env.step_cached): identical transition (reference hot loop
 minigrid/minigrid_env.py:525-650), auto-reset from R pre-generated levels
-per env.  Action sampling is Gumbel-argmax over the 7 logits — the same
-construction as jax.random.categorical, driven by the TPU core PRNG
-(seeded per (block, timestep) from the caller's key).
+per env.  Action sampling is Gumbel-argmax over the ``num_actions`` logits
+— the same construction as jax.random.categorical — from injected random
+bits keyed per (block, timestep).
+
+Family hooks: ``fused_ext`` publishers (ops/fused_ext.py — all BabyAI
+levels' verifier, Dynamic-Obstacles' walk, KeyCorridor/PutNear/... reward
+shaping) run INSIDE the kernel exactly as in the random-rollout kernel:
+pre_step before the core transition, map_action on the sampled action
+(the trajectory stores the ORIGINAL action, as the XLA collector does),
+post_step on the transition context; the ext's packed scalars/planes stay
+VMEM-resident and blend on auto-reset.
 """
 
 from __future__ import annotations
@@ -39,8 +47,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from minigrid_tpu.core.state import MISSION_DIM
 from minigrid_tpu.ops.embed_dense import CELL_F, DIR_F, write_onehot
+from minigrid_tpu.ops.fused_ext import FusedCtx
 from minigrid_tpu.ops.fused_rollout import (
     NUM_SC,
     ROW_AX,
@@ -55,7 +63,9 @@ from minigrid_tpu.ops.fused_rollout import (
 )
 
 B = 1024  # envs per block (lane-major rows of [*, B])
-NA = 7  # actions; logits+value pack into one 8-row head
+# Head rows: num_actions logits + 1 value, zero-padded to a full 8-row
+# sublane block (num_actions <= 7 across the zoo; Dynamic-Obstacles has 3).
+HEAD_ROWS = 8
 
 
 def _f1(V):
@@ -82,18 +92,23 @@ def repack_actor_params(params, view_size: int):
     b1 = p["Dense_0"]["bias"].astype(jnp.float32).reshape(hidden, 1)
     w2t = p["Dense_1"]["kernel"].T.astype(jnp.bfloat16)  # [H, H]
     b2 = p["Dense_1"]["bias"].astype(jnp.float32).reshape(hidden, 1)
-    wl = p["Dense_2"]["kernel"]  # [H, NA]
+    wl = p["Dense_2"]["kernel"]  # [H, num_actions]
     wv = p["Dense_3"]["kernel"]  # [H, 1]
-    wh = jnp.concatenate([wl, wv], axis=1).T.astype(jnp.bfloat16)  # [8, H]
+    na = wl.shape[1]
+    wh = jnp.concatenate([wl, wv], axis=1).T.astype(jnp.bfloat16)  # [na+1, H]
     bh = jnp.concatenate(
         [p["Dense_2"]["bias"], p["Dense_3"]["bias"]]
-    ).astype(jnp.float32).reshape(NA + 1, 1)
+    ).astype(jnp.float32).reshape(na + 1, 1)
+    # Zero-pad the head to HEAD_ROWS sublanes; row ``na`` stays the value.
+    wh = jnp.pad(wh, ((0, HEAD_ROWS - na - 1), (0, 0)))
+    bh = jnp.pad(bh, ((0, HEAD_ROWS - na - 1), (0, 0)))
     return w1t, b1, w2t, b2, wh, bh
 
 
 def _policy_block(obs_rows, d, w1t, b1, w2t, b2, wh, bh, oh_s, *, V):
     """Actor forward for one block: obs rows (list of V*V [B] packed cells) +
-    direction [B] -> (logits f32[8, B] with row 7 = value).
+    direction [B] -> heads f32[HEAD_ROWS, B] (rows 0..na-1 = logits, row na
+    = value, rest zero-padded).
 
     The one-hot feature matrix is built straight into its matmul layout
     [F1, B] by the shared builder (ops/embed_dense.write_onehot): per view
@@ -109,84 +124,79 @@ def _policy_block(obs_rows, d, w1t, b1, w2t, b2, wh, bh, oh_s, *, V):
     return jnp.dot(wh, h2, preferred_element_type=jnp.float32) + bh
 
 
-def _sample_block(heads, bits):
-    """Gumbel-argmax over the 7 logit rows (the construction behind
+def _sample_block(heads, bits, na):
+    """Gumbel-argmax over the ``na`` logit rows (the construction behind
     ``jax.random.categorical``); ``bits`` are int32 random bits from the
     caller's key stream — injected rather than drawn from the TPU core PRNG
     so trajectories are reproducible from the JAX key alone (and the
     interpreter, which stubs the core PRNG, stays testable).  Returns
     (action i32[B], logp f32[B], value f32[B])."""
-    value = heads[NA]
+    value = heads[na]
     row = jax.lax.broadcasted_iota(jnp.int32, heads.shape, 0)
     neg = jnp.float32(-1e30)
-    lg = jnp.where(row < NA, heads, neg)
+    lg = jnp.where(row < na, heads, neg)
 
     # Top 24 of the 32 bits -> uniform in (0, 1), then Gumbel.
     u = (((bits >> 8) & 0xFFFFFF).astype(jnp.float32) + 0.5) * (1.0 / (1 << 24))
     z = lg + -jnp.log(-jnp.log(u))
 
-    # Manual first-max-wins argmax over the 8 sublane rows.
+    # Manual first-max-wins argmax over the logit sublane rows.
     best = z[0]
     action = jnp.zeros_like(best, jnp.int32)
-    for k in range(1, NA):
+    for k in range(1, na):
         take = z[k] > best
         best = jnp.where(take, z[k], best)
         action = jnp.where(take, k, action)
 
     m = lg[0]
-    for k in range(1, NA):
+    for k in range(1, na):
         m = jnp.maximum(m, lg[k])
     se = jnp.zeros_like(m)
-    for k in range(NA):
+    for k in range(na):
         se = se + jnp.exp(lg[k] - m)
     lse = m + jnp.log(se)
     logp = jnp.zeros_like(m)
-    for k in range(NA):
+    for k in range(na):
         logp = logp + jnp.where(action == k, lg[k] - lse, 0.0)
     return action, logp, value
 
 
 def _actor_kernel(
-    noise_ref,
-    grid_i,
-    cont_i,
-    sc_i,
-    mis_i,
-    cgrid_ref,
-    ccont_ref,
-    csc_ref,
-    cmis_ref,
-    w1_ref,
-    b1_ref,
-    w2_ref,
-    b2_ref,
-    wh_ref,
-    bh_ref,
-    obs_o,
-    dir_o,
-    act_o,
-    logp_o,
-    val_o,
-    rew_o,
-    done_o,
-    grid_f,
-    cont_f,
-    sc_f,
-    mis_f,
-    grid_s,
-    cont_s,
-    sc_s,
-    mis_s,
-    used_s,
-    oh_s,
-    *,
+    *refs,
     W,
     H,
     V,
     T,
     R,
+    K,
+    P,
+    NA,
     see_through,
+    env,
+    ext,
 ):
+    it = iter(refs)
+    noise_ref = next(it)
+    grid_i, cont_i, sc_i, mis_i = next(it), next(it), next(it), next(it)
+    scal_i = next(it) if K else None
+    pl_i = next(it) if P else None
+    cgrid_ref, ccont_ref, csc_ref, cmis_ref = next(it), next(it), next(it), next(it)
+    cscal_ref = next(it) if K else None
+    cpl_ref = next(it) if P else None
+    w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref = (
+        next(it), next(it), next(it), next(it), next(it), next(it),
+    )
+    obs_o, dir_o, act_o, logp_o, val_o, rew_o, done_o = (
+        next(it), next(it), next(it), next(it), next(it), next(it), next(it),
+    )
+    grid_f, cont_f, sc_f, mis_f = next(it), next(it), next(it), next(it)
+    scal_f = next(it) if K else None
+    pl_f = next(it) if P else None
+    grid_s, cont_s, sc_s, mis_s = next(it), next(it), next(it), next(it)
+    scal_s = next(it) if K else None
+    pl_s = next(it) if P else None
+    used_s, oh_s = next(it), next(it)
+
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -196,12 +206,21 @@ def _actor_kernel(
         sc_s[:, :] = sc_i[0]
         mis_s[:, :] = mis_i[0]
         used_s[:, :] = jnp.zeros_like(used_s)
+        if K:
+            scal_s[:, :] = scal_i[0]
+        if P:
+            pl_s[:, :, :] = pl_i[0]
 
     g = grid_s[:, :]
     c = cont_s[:, :]
     sc = {r: sc_s[r] for r in range(NUM_SC)}
+    scal = tuple(scal_s[k] for k in range(K))
+    planes = tuple(pl_s[p] for p in range(P))
 
-    # --- observation of the CURRENT state (pre-step), policy, sampling ----
+    # --- observation of the CURRENT state, policy, sampling ---------------
+    # The policy observes the state BEFORE the transition — including before
+    # any family pre-step dynamics, exactly like the XLA collector
+    # (observation precedes step_env's _pre_step call, core/env.py:112-121).
     pv = packed_view_block(g, sc, W=W, H=H, V=V, see_through=see_through)
     obs_rows = [pv[i][j] for i in range(V) for j in range(V)]
     for slot, row in enumerate(obs_rows):
@@ -215,13 +234,43 @@ def _actor_kernel(
         wh_ref[:, :], bh_ref[:, :],
         oh_s, V=V,
     )
-    action, logp, value = _sample_block(heads, noise_ref[0, 0])
+    action, logp, value = _sample_block(heads, noise_ref[0, 0], NA)
     act_o[0, 0, 0] = action
     logp_o[0, 0, 0] = logp
     val_o[0, 0, 0] = value
 
     # --- transition + auto-reset from the cache (step_cached semantics) ---
-    g, c, sc, reward, _aux = _step_block(g, c, sc, action, W=W, H=H)
+    if ext is not None:
+        # Pre-action dynamics (e.g. the Dynamic-Obstacles walk) — the same
+        # hook order as the random-rollout kernel (fused_rollout.py) and
+        # step_env.
+        g, c, sc, scal, planes = ext.pre_step(
+            env, W, H, g, c, sc, scal, planes, action
+        )
+    g_prev, sc_prev = g, sc
+    mapped = ext.map_action(env, action) if ext is not None else action
+    g, c, sc, reward, aux = _step_block(g, c, sc, mapped, W=W, H=H)
+    if ext is not None:
+        fmask, fcell_prev, fcell_post = aux
+        ctx = FusedCtx(
+            env=env,
+            W=W,
+            H=H,
+            g_prev=g_prev,
+            g_post=g,
+            c=c,
+            sc_prev=sc_prev,
+            sc=sc,
+            fmask=fmask,
+            fcell_prev=fcell_prev,
+            fcell_post=fcell_post,
+            action=action,
+            reward=reward,
+            scal=scal,
+            planes=planes,
+        )
+        term_x, reward, scal, planes = ext.post_step(ctx)
+        sc[ROW_TERM] = sc[ROW_TERM] | term_x.astype(jnp.int32)
     done = (sc[ROW_TERM] | sc[ROW_TRUNC]) != 0
     rew_o[0, 0, 0] = reward
     done_o[0, 0, 0] = done.astype(jnp.int32)
@@ -231,6 +280,8 @@ def _actor_kernel(
     fg, fc = cgrid_ref[0, 0], ccont_ref[0, 0]
     fsc = {r: csc_ref[0, 0, r] for r in range(NUM_SC)}
     fm = cmis_ref[0, 0]
+    fscal = [cscal_ref[0, 0, k] for k in range(K)]
+    fpl = [cpl_ref[0, 0, p] for p in range(P)]
     for r in range(1, R):
         take = used >= r
         fg = jnp.where(take[None], cgrid_ref[0, r], fg)
@@ -238,11 +289,17 @@ def _actor_kernel(
         for q in range(NUM_SC):
             fsc[q] = jnp.where(take, csc_ref[0, r, q], fsc[q])
         fm = jnp.where(take[None], cmis_ref[0, r], fm)
+        for k in range(K):
+            fscal[k] = jnp.where(take, cscal_ref[0, r, k], fscal[k])
+        for p in range(P):
+            fpl[p] = jnp.where(take[None], cpl_ref[0, r, p], fpl[p])
     g = jnp.where(done[None], fg, g)
     c = jnp.where(done[None], fc, c)
     for q in range(NUM_SC):
         sc[q] = jnp.where(done, fsc[q], sc[q])
     mis = jnp.where(done[None], fm, mis)
+    scal = tuple(jnp.where(done, fscal[k], scal[k]) for k in range(K))
+    planes = tuple(jnp.where(done[None], fpl[p], planes[p]) for p in range(P))
     used_s[0] = used + done.astype(jnp.int32)
 
     grid_s[:, :] = g
@@ -250,6 +307,10 @@ def _actor_kernel(
     for q in range(NUM_SC):
         sc_s[q] = sc[q]
     mis_s[:, :] = mis
+    for k in range(K):
+        scal_s[k] = scal[k]
+    for p in range(P):
+        pl_s[p] = planes[p]
 
     @pl.when(t == T - 1)
     def _final():
@@ -257,22 +318,25 @@ def _actor_kernel(
         cont_f[0] = cont_s[:, :]
         sc_f[0] = sc_s[:, :]
         mis_f[0] = mis_s[:, :]
+        if K:
+            scal_f[0] = scal_s[:, :]
+        if P:
+            pl_f[0] = pl_s[:, :, :]
 
 
 def supports_fused_actor(env, num_envs: int) -> bool:
-    """Same family surface as the random-policy fused kernel plus the block
-    divisibility/VMEM constraints.  Single-device only: the learners shard
-    with jit+in_shardings, and XLA's SPMD partitioner cannot partition a
-    custom call — multi-chip meshes fall back to the partitionable XLA scan
-    (a pod deployment would instead wrap the kernel in ``shard_map`` so each
-    device runs it on its local batch shard)."""
+    """Same family surface as the random-policy fused kernel (default-hook
+    families AND ``fused_ext`` publishers — the kernel runs the ext's
+    pre/map/post hooks and carries its packed scalars/planes in VMEM) plus
+    the block divisibility/VMEM constraints.  Single-device only: the
+    learners shard with jit+in_shardings, and XLA's SPMD partitioner cannot
+    partition a custom call — multi-chip meshes instead reach the kernel
+    through the ``shard_map`` path in rl/rollout.py (each device runs it on
+    its local batch shard)."""
     return (
         jax.devices()[0].platform == "tpu"
         and jax.device_count() == 1
         and supports_fused(env)
-        # fused_ext families are fused in the random-rollout kernel; the
-        # actor kernel does not run ext hooks yet.
-        and getattr(env, "fused_ext", None) is None
         and num_envs % B == 0
         and env.width * env.height <= 361
     )
@@ -308,12 +372,18 @@ def fused_actor_rollout(
     T = int(num_steps)
     R = int(resets_per_chunk)
     F1 = _f1(V)
+    na = int(env.num_actions)
+    # Mission width varies by family (classic 8, BabyAI 44); structural dim.
+    MISSION_DIM = states.mission.shape[-1]
+    ext = getattr(env, "fused_ext", None)
+    K = ext.n_scalars if ext is not None else 0
+    P = ext.n_planes if ext is not None else 0
 
     k_cache, k_noise, k_rng = jax.random.split(key, 3)
     cache = env.batch_reset_cache(k_cache, N, R)
     w1t, b1, w2t, b2, wh, bh = repack_actor_params(params, V)
     hidden = w1t.shape[0]
-    noise = jax.random.bits(k_noise, (Eb, T, NA + 1, B), jnp.uint32).astype(jnp.int32)
+    noise = jax.random.bits(k_noise, (Eb, T, HEAD_ROWS, B), jnp.uint32).astype(jnp.int32)
 
     def rows(st):
         cols = [
@@ -344,6 +414,18 @@ def fused_actor_rollout(
     csc = to_rows(rows(cache))
     cm = to_rows(cache.mission)
 
+    # Family-ext extra state, packed to int32 scalars/planes (fused_ext.py),
+    # env axis into lanes: [Eb, K, B] / [Eb, P, WH, B] (+ R-slot caches).
+    if ext is not None and (K or P):
+        scal_N, pl_N = ext.pack_extra(env, states.extra)  # [N, K], [N, P, WH]
+        cscal_N, cpl_N = ext.pack_extra(env, cache.extra)  # [N, R, K], [N, R, P, WH]
+        scal_b = to_rows(scal_N) if K else None
+        pl_b = to_rows(pl_N) if P else None
+        cscal_b = to_rows(cscal_N) if K else None
+        cpl_b = to_rows(cpl_N) if P else None
+    else:
+        scal_b = pl_b = cscal_b = cpl_b = None
+
     def spec(*shape, index=None):
         if index is None:
             index = lambda e, t: (e,) + (0,) * len(shape)
@@ -360,78 +442,122 @@ def fused_actor_rollout(
 
     kernel = partial(
         _actor_kernel,
-        W=W, H=H, V=V, T=T, R=R, see_through=bool(env.see_through_walls),
+        W=W, H=H, V=V, T=T, R=R, K=K, P=P, NA=na,
+        see_through=bool(env.see_through_walls), env=env, ext=ext,
     )
+
+    def maybe(x):
+        return [x] if x is not None else []
+
     # Per-step row outputs carry a singleton axis so the block's trailing
     # two dims (1, B) equal the array dims (TPU BlockSpec tiling rule).
-    out_shapes = [
-        jax.ShapeDtypeStruct((Eb, T, V * V, B), jnp.int32),  # obs rows
-        jax.ShapeDtypeStruct((Eb, T, 1, B), jnp.int32),  # direction
-        jax.ShapeDtypeStruct((Eb, T, 1, B), jnp.int32),  # action
-        jax.ShapeDtypeStruct((Eb, T, 1, B), jnp.float32),  # logp
-        jax.ShapeDtypeStruct((Eb, T, 1, B), jnp.float32),  # value
-        jax.ShapeDtypeStruct((Eb, T, 1, B), jnp.float32),  # reward
-        jax.ShapeDtypeStruct((Eb, T, 1, B), jnp.int32),  # done
-        jax.ShapeDtypeStruct((Eb, WH, B), jnp.int32),  # final grid
-        jax.ShapeDtypeStruct((Eb, WH, B), jnp.int32),  # final contains
-        jax.ShapeDtypeStruct((Eb, NUM_SC, B), jnp.int32),  # final scalars
-        jax.ShapeDtypeStruct((Eb, MISSION_DIM, B), jnp.int32),  # final mission
-    ]
+    out_shapes = (
+        [
+            jax.ShapeDtypeStruct((Eb, T, V * V, B), jnp.int32),  # obs rows
+            jax.ShapeDtypeStruct((Eb, T, 1, B), jnp.int32),  # direction
+            jax.ShapeDtypeStruct((Eb, T, 1, B), jnp.int32),  # action
+            jax.ShapeDtypeStruct((Eb, T, 1, B), jnp.float32),  # logp
+            jax.ShapeDtypeStruct((Eb, T, 1, B), jnp.float32),  # value
+            jax.ShapeDtypeStruct((Eb, T, 1, B), jnp.float32),  # reward
+            jax.ShapeDtypeStruct((Eb, T, 1, B), jnp.int32),  # done
+            jax.ShapeDtypeStruct((Eb, WH, B), jnp.int32),  # final grid
+            jax.ShapeDtypeStruct((Eb, WH, B), jnp.int32),  # final contains
+            jax.ShapeDtypeStruct((Eb, NUM_SC, B), jnp.int32),  # final scalars
+            jax.ShapeDtypeStruct((Eb, MISSION_DIM, B), jnp.int32),  # final mission
+        ]
+        + ([jax.ShapeDtypeStruct((Eb, K, B), jnp.int32)] if K else [])
+        + ([jax.ShapeDtypeStruct((Eb, P, WH, B), jnp.int32)] if P else [])
+    )
     vmem_limit = max(
         16 * 1024 * 1024,
-        int((2 + 2 * R) * WH * B * 4 * 3.2) + F1 * B * 2 * 2 + 8 * 1024 * 1024,
+        int((2 + P) * (1 + R) * WH * B * 4 * 3.2)
+        + F1 * B * 2 * 2
+        + 8 * 1024 * 1024,
     )
     outs = pl.pallas_call(
         kernel,
         grid=(Eb, T),
-        in_specs=[
-            tspec(NA + 1, B),  # sampling noise bits
-            spec(WH, B),
-            spec(WH, B),
-            spec(NUM_SC, B),
-            spec(MISSION_DIM, B),
-            spec(R, WH, B),
-            spec(R, WH, B),
-            spec(R, NUM_SC, B),
-            spec(R, MISSION_DIM, B),
-            wspec(hidden, F1),
-            wspec(hidden, 1),
-            wspec(hidden, hidden),
-            wspec(hidden, 1),
-            wspec(NA + 1, hidden),
-            wspec(NA + 1, 1),
-        ],
-        out_specs=[
-            tspec(V * V, B),
-            tspec(1, B),
-            tspec(1, B),
-            tspec(1, B),
-            tspec(1, B),
-            tspec(1, B),
-            tspec(1, B),
-            spec(WH, B),
-            spec(WH, B),
-            spec(NUM_SC, B),
-            spec(MISSION_DIM, B),
-        ],
+        in_specs=(
+            [
+                tspec(HEAD_ROWS, B),  # sampling noise bits
+                spec(WH, B),
+                spec(WH, B),
+                spec(NUM_SC, B),
+                spec(MISSION_DIM, B),
+            ]
+            + ([spec(K, B)] if K else [])
+            + ([spec(P, WH, B)] if P else [])
+            + [
+                spec(R, WH, B),
+                spec(R, WH, B),
+                spec(R, NUM_SC, B),
+                spec(R, MISSION_DIM, B),
+            ]
+            + ([spec(R, K, B)] if K else [])
+            + ([spec(R, P, WH, B)] if P else [])
+            + [
+                wspec(hidden, F1),
+                wspec(hidden, 1),
+                wspec(hidden, hidden),
+                wspec(hidden, 1),
+                wspec(HEAD_ROWS, hidden),
+                wspec(HEAD_ROWS, 1),
+            ]
+        ),
+        out_specs=(
+            [
+                tspec(V * V, B),
+                tspec(1, B),
+                tspec(1, B),
+                tspec(1, B),
+                tspec(1, B),
+                tspec(1, B),
+                tspec(1, B),
+                spec(WH, B),
+                spec(WH, B),
+                spec(NUM_SC, B),
+                spec(MISSION_DIM, B),
+            ]
+            + ([spec(K, B)] if K else [])
+            + ([spec(P, WH, B)] if P else [])
+        ),
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((WH, B), jnp.int32),
-            pltpu.VMEM((WH, B), jnp.int32),
-            pltpu.VMEM((NUM_SC, B), jnp.int32),
-            pltpu.VMEM((MISSION_DIM, B), jnp.int32),
-            pltpu.VMEM((1, B), jnp.int32),
-            pltpu.VMEM((F1, B), jnp.bfloat16),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((WH, B), jnp.int32),
+                pltpu.VMEM((WH, B), jnp.int32),
+                pltpu.VMEM((NUM_SC, B), jnp.int32),
+                pltpu.VMEM((MISSION_DIM, B), jnp.int32),
+            ]
+            + ([pltpu.VMEM((K, B), jnp.int32)] if K else [])
+            + ([pltpu.VMEM((P, WH, B), jnp.int32)] if P else [])
+            + [
+                pltpu.VMEM((1, B), jnp.int32),
+                pltpu.VMEM((F1, B), jnp.bfloat16),
+            ]
+        ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=vmem_limit,
         ),
         interpret=interpret,
-    )(noise, grid_b, cont_b, sc_b, mis_b, cg, cc, csc, cm, w1t, b1, w2t, b2, wh, bh)
+    )(
+        *(
+            [noise, grid_b, cont_b, sc_b, mis_b]
+            + maybe(scal_b)
+            + maybe(pl_b)
+            + [cg, cc, csc, cm]
+            + maybe(cscal_b)
+            + maybe(cpl_b)
+            + [w1t, b1, w2t, b2, wh, bh]
+        )
+    )
 
     (obs_o, dir_o, act_o, logp_o, val_o, rew_o, done_o,
-     grid_f, cont_f, sc_f, mis_f) = outs
+     grid_f, cont_f, sc_f, mis_f) = outs[:11]
+    rest = list(outs[11:])
+    scal_f = rest.pop(0) if K else None
+    pl_f = rest.pop(0) if P else None
 
     def from_rows(x):
         """[Eb, ...rest, B] -> [N, ...rest]."""
@@ -454,6 +580,14 @@ def fused_actor_rollout(
         mission=from_rows(mis_f),
         rng=jax.vmap(jax.random.fold_in, (None, 0))(k_rng, jnp.arange(N)),
     )
+    if ext is not None and (K or P):
+        final = final.replace(
+            extra=ext.unpack_extra(
+                env,
+                from_rows(scal_f) if K else None,  # [N, K]
+                from_rows(pl_f) if P else None,  # [N, P, WH]
+            )
+        )
 
     def tmajor(x):
         """[Eb, T, ...rest, B] -> [T, N, ...rest]."""

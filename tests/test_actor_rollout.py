@@ -42,7 +42,7 @@ def _setup(env_id, n, seed=0, **kwargs):
 
 
 def test_actor_kernel_env_replay_and_policy_consistency():
-    n, t, r = 1024, 20, 2
+    n, t, r = 1024, 14, 2
     # max_steps=8 < T forces truncation auto-resets through the cache,
     # DoorKey exercises occlusion + pickup/toggle interactions.
     env, model, params, states, key = _setup(
@@ -122,3 +122,69 @@ def test_actor_kernel_sampling_matches_softmax():
     np.testing.assert_array_equal(
         np.asarray(traj["action"]), np.asarray(traj2["action"])
     )
+
+
+def _replay_check(env_id, n, t, r, seed, extra_fields=True, **kwargs):
+    """Replay the kernel's own action stream through ``step_cached`` (same
+    cache) and demand bit-exact obs/reward/done per step plus the final
+    state INCLUDING the family's unpacked ``extra`` pytree."""
+    env, model, params, states, key = _setup(env_id, n, seed=seed, **kwargs)
+    v = env.agent_view_size
+    final, traj = fused_actor_rollout(env, params, states, key, t, r, interpret=True)
+
+    k_cache, _, _ = jax.random.split(key, 3)
+    cache = env.batch_reset_cache(k_cache, n, r)
+    st, used = states, jnp.zeros((n,), jnp.int32)
+    step_cached = jax.jit(jax.vmap(env.step_cached))
+    obs_fn = jax.jit(jax.vmap(lambda s: env.observation_packed(s).reshape(v * v)))
+    for step in range(t):
+        np.testing.assert_array_equal(
+            np.asarray(obs_fn(st)), np.asarray(traj["obs"][step]),
+            err_msg=f"obs t={step}",
+        )
+        _, st, rew, term, trunc, used = step_cached(
+            st, traj["action"][step], cache, used
+        )
+        np.testing.assert_allclose(
+            np.asarray(rew), np.asarray(traj["reward"][step]), rtol=1e-6,
+            err_msg=f"reward t={step}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(term | trunc), np.asarray(traj["done"][step]),
+            err_msg=f"done t={step}",
+        )
+    for f in STATE_FIELDS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(final, f)), np.asarray(getattr(st, f)), err_msg=f
+        )
+    if extra_fields:
+        import jax.tree_util as jtu
+
+        ka = jtu.tree_flatten_with_path(final.extra)[0]
+        kb = jtu.tree_flatten_with_path(st.extra)[0]
+        for (pa, la), (_, lb) in zip(ka, kb):
+            np.testing.assert_array_equal(
+                np.asarray(la), np.asarray(lb), err_msg=f"extra {pa}"
+            )
+    return traj
+
+
+def test_actor_kernel_ext_dynamic_obstacles():
+    """fused_ext families run inside the actor kernel: the Dynamic-Obstacles
+    counter-based walk (pre_step), >=3 -> left remap (map_action, the
+    trajectory stores the ORIGINAL sampled action), and collision penalty
+    (post_step) replay bit-exactly through step_cached, including the final
+    obstacles/walk_seed extra state."""
+    traj = _replay_check("MiniGrid-Dynamic-Obstacles-5x5-v0", 1024, 8, 2, seed=3)
+    # The remap means actions >= 3 appear in the stored trajectory.
+    assert int((np.asarray(traj["action"]) >= 3).sum()) > 0
+    # Collisions end episodes with the -1 penalty.
+    assert float(np.asarray(traj["reward"]).min()) == -1.0
+
+
+def test_actor_kernel_ext_babyai_verifier():
+    """The BabyAI verifier automaton (2 tracking planes + 8 packed scalars)
+    runs inside the actor kernel: goto-instr successes pay the shaped
+    reward and the final InstrState round-trips bit-exactly."""
+    traj = _replay_check("BabyAI-GoToRedBallGrey-v0", 1024, 8, 2, seed=5)
+    assert int((np.asarray(traj["reward"]) > 0).sum()) > 0, "no successes"

@@ -186,7 +186,7 @@ def test_fused_ext_dynamicobstacles():
     # draw — positions, grid writes, collision penalties, and the walk_seed/
     # front_not_clear carried through auto-reset blends.
     done = run_equivalence(
-        "MiniGrid-Dynamic-Obstacles-5x5-v0", t=24, max_steps=9, seed=9
+        "MiniGrid-Dynamic-Obstacles-5x5-v0", t=16, max_steps=9, seed=9
     )
     assert done > 0
 
@@ -211,19 +211,24 @@ def test_fused_ext_obstructedmaze():
 def test_fused_babyai_gotolocal():
     # GoTo leaf: goto_succ fires on facing a tracked position; successes and
     # subsequent cache resets blend the packed instr planes.
-    done = run_equivalence("BabyAI-GoToLocal-v0", t=24, seed=0)
+    done = run_equivalence("BabyAI-GoToLocal-v0", t=12, seed=0)
     assert done > 0
 
 
+@pytest.mark.slow
 def test_fused_babyai_pickup_and_open():
-    run_equivalence("BabyAI-PickupLoc-v0", t=24, seed=1)
-    run_equivalence("BabyAI-OpenRedDoor-v0", t=24, seed=2)
+    # Gated lane (weekly full sweep): the Pickup/Open instr classes in the
+    # random-rollout kernel; the default lane keeps GoToLocal here plus the
+    # actor-kernel verifier replay (tests/test_actor_rollout.py).
+    run_equivalence("BabyAI-PickupLoc-v0", t=12, seed=1)
+    run_equivalence("BabyAI-OpenRedDoor-v0", t=12, seed=2)
 
 
+@pytest.mark.slow
 def test_fused_babyai_putnext():
     # PutNext exercises both descriptor slots, the poss dilation
-    # neighborhood read and the pre_move_tracked memory.
-    run_equivalence("BabyAI-PutNextLocalS5N3-v0", t=24, seed=3)
+    # neighborhood read and the pre_move_tracked memory (gated lane).
+    run_equivalence("BabyAI-PutNextLocalS5N3-v0", t=12, seed=3)
 
 
 @pytest.mark.slow
@@ -236,4 +241,4 @@ def test_fused_babyai_done_actions_mode(monkeypatch):
     # done-actions mode: statuses are swallowed until a done action reports
     # from last_match memory (verifier.py:225-237 semantics).
     monkeypatch.setenv("BABYAI_DONE_ACTIONS", "1")
-    run_equivalence("BabyAI-GoToRedBallGrey-v0", t=24, seed=5)
+    run_equivalence("BabyAI-GoToRedBallGrey-v0", t=12, seed=5)
