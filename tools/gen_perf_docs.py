@@ -33,6 +33,7 @@ METRICS = [
     ("obstructed_maze_2dlh_steps_per_sec", "ObstructedMaze-2Dlh", "M"),
     ("ppo_env_steps_per_sec", "PPO end-to-end (marginal)", "M"),
     ("ppo_env_steps_per_sec_single_dispatch", "PPO (single dispatch)", "M"),
+    ("ppo_env_steps_per_sec_pipelined", "PPO (pipelined async dispatch)", "M"),
     ("impala_env_steps_per_sec", "IMPALA end-to-end (marginal)", "M"),
     ("wfc_mazesimple_levels_per_sec", "WFC MazeSimple levels/s", ""),
     ("scaling_efficiency", "Modeled 8-device scaling efficiency", ""),

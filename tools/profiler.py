@@ -249,6 +249,33 @@ def ppo_breakdown(num_envs: int = 8192, rollout_steps: int = 128):
     }
 
 
+def actor_collect_sps(env_id: str, num_envs: int, num_steps: int):
+    """On-policy collection steps/s through the fused actor kernel
+    (ops/actor_rollout.py) — the PPO/IMPALA rollout phase.  BabyAI ids
+    exercise the full fused_ext machinery (verifier planes + scalars +
+    44-wide missions) inside the kernel."""
+    import jax
+
+    import minigrid_tpu as mg
+    from minigrid_tpu.ops.actor_rollout import fused_actor_rollout
+    from minigrid_tpu.rl.model import ActorCritic
+
+    env = mg.make(env_id)
+    v = env.agent_view_size
+    model = ActorCritic(hidden=256, num_actions=env.num_actions)
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k1, num_envs))
+    obs0 = jax.vmap(lambda s: env.observation_packed(s).reshape(v * v))(states)
+    params = model.init(k2, obs0[:1], states.agent_dir[:1], packed=True)
+    t = _bench(
+        lambda k: fused_actor_rollout(env, params, states, k, num_steps, 2),
+        k3,
+        reps=3,
+    )
+    return num_envs * num_steps / t
+
+
 def babyai_ablate(env_id: str, num_envs: int, num_steps: int, resets: int = 2):
     """Decompose an expensive-reset family's rollout cost (VERDICT r3 weak #6):
     how much of the measured steps/s goes to reset-cache generation (runs once
@@ -377,6 +404,12 @@ TREND_METRICS = {
         "MiniGrid-ObstructedMaze-2Dlh-v0", 8192, _T
     ),
     "wfc_mazesimple_levels_per_sec": lambda: wfc_levels_per_sec(),
+    # The PPO/IMPALA collection phase through the fused actor kernel on a
+    # fused_ext family (verifier in-kernel) — guards the round-4 ext-hook
+    # extension of ops/actor_rollout.py against regression.
+    "actor_collect_gotolocal_sps": lambda: actor_collect_sps(
+        "BabyAI-GoToLocal-v0", 8192, 128
+    ),
 }
 
 
