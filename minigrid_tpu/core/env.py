@@ -126,6 +126,24 @@ class MiniGridEnv:
     # (minigrid_tpu/parallel/vector.py) instead of regenerating every step.
     expensive_reset: bool = False
 
+    # Kernel-specialization capability flags (ops/fused_rollout.py /
+    # ops/actor_rollout.py).  Purely an optimization contract — the XLA path
+    # ignores them, and per-family fused-vs-XLA bit-exactness tests
+    # (tests/test_fused_rollout.py) enforce that a family setting them really
+    # has the claimed property.
+    #
+    # ``fused_no_objects``: the family's grids never contain a cell the core
+    # transition can mutate (no keys/balls/boxes/doors — only empty, wall,
+    # goal, lava, floor), so pickup/drop/toggle can never fire: the kernels
+    # skip the contains-plane reduce, the grid/contains write-back, and the
+    # carry update.  (An ext ``pre_step`` may still rewrite the grid, e.g.
+    # the Dynamic-Obstacles walk — the flag only covers the core step.)
+    fused_no_objects: bool = False
+    # ``fused_static_mission``: the mission vector is a family constant
+    # (seed-independent), so the auto-reset mission blend is the identity
+    # and the kernels skip it.
+    fused_static_mission: bool = False
+
     def reset_cache(self, key: jax.Array, num_resets: int) -> EnvState:
         """Pytree of ``num_resets`` pre-generated fresh episodes (leading
         axis R) for amortized auto-reset inside a rollout chunk."""

@@ -40,7 +40,11 @@ from minigrid_tpu.core.constants import (
     cell_type,
     with_state,
 )
-from minigrid_tpu.core.sampling import randint, sample_mask_cell
+from minigrid_tpu.core.sampling import (
+    masked_uniform_index as sample_mask_index,
+    randint,
+    sample_mask_cell,
+)
 
 # Object kinds in the reference's draw order ["key", "ball", "box"]
 # (minigrid/core/roomgrid.py:210).
@@ -297,8 +301,7 @@ class RoomGridBuilder:
             pads.append(padded[1 + dx : 1 + dx + w, 1 + dy : 1 + dy + h])
         front_ok = jnp.stack(pads, axis=-1)  # [W, H, 4]
         m = free[:, :, None] & front_ok
-        logits = jnp.where(m.reshape(-1), 0.0, -jnp.inf)
-        idx = jax.random.categorical(k_pose, logits)
+        idx = sample_mask_index(k_pose, m.reshape(-1))
         d = idx % 4
         xy = idx // 4
         pos = jnp.stack([xy // h, xy % h]).astype(jnp.int32)

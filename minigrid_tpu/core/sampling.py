@@ -15,6 +15,22 @@ import jax.numpy as jnp
 from minigrid_tpu.core.grid import coord_grids, free_mask, rect_mask
 
 
+def masked_uniform_index(key: jax.Array, flat_mask: jnp.ndarray) -> jnp.ndarray:
+    """Uniformly sample one True index of bool[N] ``flat_mask`` (int32).
+
+    Count-and-rank draw: one randint in [0, count) plus a cumsum rank match.
+    Exactly the uniform distribution over set bits — identical to a masked
+    categorical — but ~10x cheaper on the VPU (no per-cell Gumbel
+    transcendentals).  All-False masks yield index 0 (callers must guarantee
+    feasibility, as the reference guarantees loop termination).
+    """
+    vi = flat_mask.astype(jnp.int32)
+    cnt = vi.sum()
+    r = jax.random.randint(key, (), 0, jnp.maximum(cnt, 1), dtype=jnp.int32)
+    rank = jnp.cumsum(vi) - 1
+    return jnp.argmax(flat_mask & (rank == r)).astype(jnp.int32)
+
+
 def sample_mask_cell(key: jax.Array, mask: jnp.ndarray) -> jnp.ndarray:
     """Uniformly sample one True cell of bool[W, H] ``mask``; returns int32[2].
 
@@ -22,8 +38,7 @@ def sample_mask_cell(key: jax.Array, mask: jnp.ndarray) -> jnp.ndarray:
     guarantee feasibility, as the reference guarantees loop termination).
     """
     width, height = mask.shape
-    logits = jnp.where(mask.reshape(-1), 0.0, -jnp.inf)
-    idx = jax.random.categorical(key, logits)
+    idx = masked_uniform_index(key, mask.reshape(-1))
     return jnp.stack([idx // height, idx % height]).astype(jnp.int32)
 
 

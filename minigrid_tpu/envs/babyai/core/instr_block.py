@@ -27,6 +27,7 @@ tests/test_fused_rollout.py (final InstrState included).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from minigrid_tpu.core.actions import Actions
@@ -190,6 +191,7 @@ class BabyAIFusedExt(fx.FusedExt):
 
         # -- object bookkeeping (verify_step :324-350) --
         at_fwd = jnp.sum(jnp.where(fmask_prev, gridm, 0), axis=0)
+        carried_old = carried
         carried = jnp.where(picked, carried | at_fwd, carried)
         gridm = jnp.where(picked[None] & fmask_prev, 0, gridm)
         gridm = jnp.where(dropped[None] & fmask_prev, gridm | carried[None], gridm)
@@ -208,18 +210,37 @@ class BabyAIFusedExt(fx.FusedExt):
         fnow_state = (fcell_now >> 16) & 0xFF
         carrying_now = nowc != 0
 
-        at_fwd_prev_w = jnp.sum(jnp.where(fmask_prev, gridm, 0), axis=0)
+        # The updated gridm word at the prev-pose fwd cell, recovered from the
+        # (mutually exclusive) update rules above instead of a second full
+        # [WH, *S] masked reduce: picked/box_consumed zero it, dropped ORs in
+        # the pre-drop carried word, otherwise it is the pre-update read.
+        at_fwd_prev_w = jnp.where(
+            picked | box_consumed,
+            0,
+            jnp.where(dropped, at_fwd | carried_old, at_fwd),
+        )
         poss_at_now_w = jnp.sum(jnp.where(fmask_now, poss, 0), axis=0)
-        # PutNext "next to a tracked fixed position": the 4-dilation of poss
-        # read at the fwd cell == poss read at the fwd cell's 4-neighborhood.
-        near_w = jnp.zeros_like(poss_at_now_w)
-        for ddx, ddy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-            nx, ny = fx_now + ddx, fy_now + ddy
-            ok = (nx >= 0) & (nx < W) & (ny >= 0) & (ny < H)
-            val = ctx.read_at(
-                poss, jnp.clip(nx, 0, W - 1) * H + jnp.clip(ny, 0, H - 1)
-            )
-            near_w = near_w | jnp.where(ok, val, 0)
+        # PutNext "next to a tracked fixed position": reading poss at the fwd
+        # cell's 4-neighborhood == reading the 4-dilation of poss at the fwd
+        # cell.  Dilating along the structural WH axis is static slicing
+        # (x +-1 = shift by H rows; y +-1 = shift by 1 with row-edge masks),
+        # one plane pass per direction instead of a fresh one-hot mask +
+        # masked reduce per neighbor (12 plane passes -> 6).
+        WH = W * H
+        zrow = jnp.zeros((H,) + poss.shape[1:], poss.dtype)
+        z1 = jnp.zeros((1,) + poss.shape[1:], poss.dtype)
+        cell_i = jax.lax.broadcasted_iota(
+            jnp.int32, (WH,) + (1,) * (poss.ndim - 1), 0
+        )
+        not_y0 = (cell_i % H) != 0  # cell above is same column only if y > 0
+        not_ytop = (cell_i % H) != H - 1
+        near_plane = (
+            jnp.concatenate([poss[H:], zrow], axis=0)  # x+1 neighbor
+            | jnp.concatenate([zrow, poss[:-H]], axis=0)  # x-1 neighbor
+            | jnp.where(not_ytop, jnp.concatenate([poss[1:], z1], axis=0), 0)
+            | jnp.where(not_y0, jnp.concatenate([z1, poss[:-1]], axis=0), 0)
+        )
+        near_w = jnp.sum(jnp.where(fmask_now, near_plane, 0), axis=0)
 
         done_mode = ((topw >> 5) & 1) != 0
         is_done_act = done_mode & (a == Actions.done)

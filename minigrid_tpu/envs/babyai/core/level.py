@@ -37,6 +37,7 @@ from minigrid_tpu.envs.babyai.core.instr import (
 )
 from minigrid_tpu.envs.babyai.core.text import encode_babyai_mission, babyai_mission_text
 from minigrid_tpu.envs.unlock import RoomGridEnvBase
+from minigrid_tpu.utils.tree_gather import compact_valid_indices, tree_take
 
 
 def _rev32(x):
@@ -61,9 +62,11 @@ class RoomGridLevel(RoomGridEnvBase):
 
     # Pool over-provision for batch_reset_cache: pool = factor * levels
     # needed.  Families with high attempt-validity override this downward
-    # (measured rates: GoToLocal/GoToRedBall* ~0.84, PutNextLocal ~0.75,
-    # Synth ~0.91, GoTo/Pickup ~0.52) so generation work shrinks while the
-    # shortfall-wraparound probability stays negligible at >=2^14 pools.
+    # (measured rates: GoToLocal/GoToRedBall* ~0.84 -> 1.3, PutNextLocal
+    # ~0.75 -> 1.5, Synth ~0.91, GoTo/Pickup ~0.52) so generation work
+    # shrinks while the shortfall-wraparound probability stays negligible —
+    # factor*validity keeps >=10-sigma binomial headroom over 1.0 at >=2^14
+    # pools, and a shortfall only wraps around to reuse valid levels.
     pool_factor = 2.0
 
     def __init__(
@@ -270,10 +273,8 @@ class RoomGridLevel(RoomGridEnvBase):
             return s, instr, valid
 
         s, instr, valid = jax.vmap(attempt)(jax.random.split(k_pool, pool))
-        order = jnp.argsort(~valid)  # stable: valid attempts first
-        nvalid = jnp.maximum(valid.sum(), 1)
-        idx = order[jnp.arange(total) % nvalid]
-        s, instr = jax.tree.map(lambda a: a[idx], (s, instr))
+        idx = compact_valid_indices(valid, total)  # valid-first, wrapping
+        s, instr = tree_take((s, instr), idx)
         states = jax.vmap(self._finish_level)(
             s, instr, jax.random.split(k_fin, total)
         )

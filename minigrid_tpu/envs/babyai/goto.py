@@ -42,7 +42,7 @@ class GoToRedBallGrey(RoomGridLevel):
     """Go to the red ball; all distractors are grey
     (reference goto.py:62-77)."""
 
-    pool_factor = 1.6  # attempt validity ~0.85
+    pool_factor = 1.3  # attempt validity ~0.85 (>40-sigma headroom at 2^15 pools)
 
     def __init__(self, room_size: int = 8, num_dists: int = 7, **kwargs):
         self.num_dists = num_dists
@@ -72,7 +72,7 @@ class GoToRedBallGrey(RoomGridLevel):
 class GoToRedBall(RoomGridLevel):
     """Go to the red ball among colored distractors (reference goto.py:128-140)."""
 
-    pool_factor = 1.6  # attempt validity ~0.85
+    pool_factor = 1.3  # attempt validity ~0.85 (>40-sigma headroom at 2^15 pools)
 
     def __init__(self, room_size: int = 8, num_dists: int = 7, **kwargs):
         self.num_dists = num_dists
@@ -118,7 +118,7 @@ class GoToObj(RoomGridLevel):
 class GoToLocal(RoomGridLevel):
     """Go to a named object in a single room (reference goto.py:262-337)."""
 
-    pool_factor = 1.6  # attempt validity ~0.84
+    pool_factor = 1.3  # attempt validity ~0.84 (>40-sigma headroom at 2^15 pools)
 
     def __init__(self, room_size: int = 8, num_dists: int = 8, **kwargs):
         self.num_dists = num_dists

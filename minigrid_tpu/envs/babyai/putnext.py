@@ -34,7 +34,7 @@ class PutNextLocal(RoomGridLevel):
     """Put an object next to another in a single room
     (reference putnext.py:11-80)."""
 
-    pool_factor = 1.8  # attempt validity ~0.75
+    pool_factor = 1.5  # attempt validity ~0.75 (>40-sigma headroom at 2^15 pools)
 
     def __init__(self, room_size: int = 8, num_objs: int = 8, **kwargs):
         self.num_objs = num_objs

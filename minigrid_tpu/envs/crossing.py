@@ -139,3 +139,9 @@ class CrossingEnv(MiniGridEnv):
         if self.obstacle_type == "lava":
             return "avoid the lava and get to the green goal square"
         return "find the opening and get to the green goal square"
+
+
+# Kernel specialization (core/env.py flags): Crossing grids hold only
+# wall/lava/goal cells and the mission depends only on the obstacle type.
+CrossingEnv.fused_no_objects = True
+CrossingEnv.fused_static_mission = True

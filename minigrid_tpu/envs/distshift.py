@@ -62,3 +62,9 @@ class DistShiftEnv(MiniGridEnv):
 
     def mission_text(self, mission=None) -> str:
         return "get to the green goal square"
+
+
+# Kernel specialization (core/env.py flags): DistShift grids hold only
+# wall/lava/goal cells and the mission is a family constant.
+DistShiftEnv.fused_no_objects = True
+DistShiftEnv.fused_static_mission = True

@@ -298,3 +298,11 @@ class _DynamicObstaclesFusedExt(fx.FusedExt):
         collided = (ctx.action == 2) & (ctx.scal[2 * self.n] != 0)
         reward = jnp.where(collided, -1.0, ctx.reward)
         return collided, reward, ctx.scal, ctx.planes
+
+
+# Kernel specialization (core/env.py flags): the action remap clamps every
+# action >= 3 to 'left', so pickup/drop/toggle never reach the core step —
+# the obstacle walk rewrites the grid in the ext pre_step, which the
+# fused_no_objects contract explicitly permits.  The mission is constant.
+DynamicObstaclesEnv.fused_no_objects = True
+DynamicObstaclesEnv.fused_static_mission = True

@@ -63,3 +63,9 @@ class EmptyEnv(MiniGridEnv):
 
     def mission_text(self, mission=None) -> str:
         return "get to the green goal square"
+
+
+# Kernel specialization (core/env.py flags): Empty grids hold only
+# wall/goal cells and the mission is a family constant.
+EmptyEnv.fused_no_objects = True
+EmptyEnv.fused_static_mission = True

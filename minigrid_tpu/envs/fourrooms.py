@@ -84,3 +84,9 @@ class FourRoomsEnv(MiniGridEnv):
 
     def mission_text(self, mission=None) -> str:
         return "reach the goal"
+
+
+# Kernel specialization (core/env.py flags): FourRooms grids hold only
+# wall/goal cells and the mission is a family constant.
+FourRoomsEnv.fused_no_objects = True
+FourRoomsEnv.fused_static_mission = True

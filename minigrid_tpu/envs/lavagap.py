@@ -63,3 +63,9 @@ class LavaGapEnv(MiniGridEnv):
         if self.obstacle_type == "lava":
             return "avoid the lava and get to the green goal square"
         return "find the opening and get to the green goal square"
+
+
+# Kernel specialization (core/env.py flags): LavaGap grids hold only
+# wall/lava/goal cells and the mission depends only on the obstacle type.
+LavaGapEnv.fused_no_objects = True
+LavaGapEnv.fused_static_mission = True

@@ -174,6 +174,8 @@ def _actor_kernel(
     see_through,
     env,
     ext,
+    no_obj=False,
+    static_mis=False,
 ):
     it = iter(refs)
     noise_ref = next(it)
@@ -249,7 +251,9 @@ def _actor_kernel(
         )
     g_prev, sc_prev = g, sc
     mapped = ext.map_action(env, action) if ext is not None else action
-    g, c, sc, reward, aux = _step_block(g, c, sc, mapped, W=W, H=H)
+    g, c, sc, reward, aux = _step_block(
+        g, c, sc, mapped, W=W, H=H, no_objects=no_obj
+    )
     if ext is not None:
         fmask, fcell_prev, fcell_post = aux
         ctx = FusedCtx(
@@ -275,38 +279,48 @@ def _actor_kernel(
     rew_o[0, 0, 0] = reward
     done_o[0, 0, 0] = done.astype(jnp.int32)
 
+    # no_obj / static_mis: the contains plane and the mission vector are
+    # reset-blend identities for flagged families (core/env.py capability
+    # contract) — their blends and scratch rewrites are statically skipped.
     used = used_s[0]
     mis = mis_s[:, :]
-    fg, fc = cgrid_ref[0, 0], ccont_ref[0, 0]
+    fg = cgrid_ref[0, 0]
+    fc = ccont_ref[0, 0] if not no_obj else None
     fsc = {r: csc_ref[0, 0, r] for r in range(NUM_SC)}
-    fm = cmis_ref[0, 0]
+    fm = cmis_ref[0, 0] if not static_mis else None
     fscal = [cscal_ref[0, 0, k] for k in range(K)]
     fpl = [cpl_ref[0, 0, p] for p in range(P)]
     for r in range(1, R):
         take = used >= r
         fg = jnp.where(take[None], cgrid_ref[0, r], fg)
-        fc = jnp.where(take[None], ccont_ref[0, r], fc)
+        if not no_obj:
+            fc = jnp.where(take[None], ccont_ref[0, r], fc)
         for q in range(NUM_SC):
             fsc[q] = jnp.where(take, csc_ref[0, r, q], fsc[q])
-        fm = jnp.where(take[None], cmis_ref[0, r], fm)
+        if not static_mis:
+            fm = jnp.where(take[None], cmis_ref[0, r], fm)
         for k in range(K):
             fscal[k] = jnp.where(take, cscal_ref[0, r, k], fscal[k])
         for p in range(P):
             fpl[p] = jnp.where(take[None], cpl_ref[0, r, p], fpl[p])
     g = jnp.where(done[None], fg, g)
-    c = jnp.where(done[None], fc, c)
     for q in range(NUM_SC):
         sc[q] = jnp.where(done, fsc[q], sc[q])
-    mis = jnp.where(done[None], fm, mis)
     scal = tuple(jnp.where(done, fscal[k], scal[k]) for k in range(K))
     planes = tuple(jnp.where(done[None], fpl[p], planes[p]) for p in range(P))
     used_s[0] = used + done.astype(jnp.int32)
 
     grid_s[:, :] = g
-    cont_s[:, :] = c
+    if no_obj:
+        pass  # contains scratch keeps its _init value (never written)
+    else:
+        c = jnp.where(done[None], fc, c)
+        cont_s[:, :] = c
     for q in range(NUM_SC):
         sc_s[q] = sc[q]
-    mis_s[:, :] = mis
+    if not static_mis:
+        mis = jnp.where(done[None], fm, mis)
+        mis_s[:, :] = mis
     for k in range(K):
         scal_s[k] = scal[k]
     for p in range(P):
@@ -444,6 +458,8 @@ def fused_actor_rollout(
         _actor_kernel,
         W=W, H=H, V=V, T=T, R=R, K=K, P=P, NA=na,
         see_through=bool(env.see_through_walls), env=env, ext=ext,
+        no_obj=bool(getattr(env, "fused_no_objects", False)),
+        static_mis=bool(getattr(env, "fused_static_mission", False)),
     )
 
     def maybe(x):

@@ -95,11 +95,15 @@ def _see_behind(t, s):
     return ~((t == OBJ_WALL) | ((t == OBJ_DOOR) & (s != STATE_OPEN)))
 
 
-def _step_block(g, c, sc, action, *, W, H):
+def _step_block(g, c, sc, action, *, W, H, no_objects=False):
     """One core_step over a block.  ``g``/``c``: int32[WH, *S]; ``sc``: dict of
     int32[*S] scalar planes; returns updated (g, c, sc, reward f32[*S]).
 
     Line-for-line port of core/step.py:48-158 into the block layout.
+    ``no_objects`` (the family's ``fused_no_objects`` contract, core/env.py):
+    no cell is pickup-able or toggle-able, so the interaction branch — the
+    contains reduce, the grid/contains write-back, and the carry update — is
+    statically dead and skipped.
     """
     WH = W * H
     S = action.shape
@@ -116,7 +120,6 @@ def _step_block(g, c, sc, action, *, W, H):
     cidx = jax.lax.broadcasted_iota(jnp.int32, (WH,) + S, 0)
     fmask = cidx == fidx[None]
     fcell = jnp.sum(jnp.where(fmask, g, 0), axis=0)
-    fcont = jnp.sum(jnp.where(fmask, c, 0), axis=0)
     ftype = fcell & 0xFF
     fcolor = (fcell >> 8) & 0xFF
     fstate = (fcell >> 16) & 0xFF
@@ -142,6 +145,17 @@ def _step_block(g, c, sc, action, *, W, H):
         0.0,
     )
 
+    if no_objects:
+        truncated = step_count >= max_steps
+        out = dict(sc)
+        out[ROW_AX], out[ROW_AY], out[ROW_DIR] = ax, ay, d
+        out[ROW_STEP] = step_count
+        out[ROW_TERM] = terminated.astype(jnp.int32)
+        out[ROW_TRUNC] = truncated.astype(jnp.int32)
+        aux = (fmask, fcell, fcell)  # nothing is ever written
+        return g, c, out, reward, aux
+
+    fcont = jnp.sum(jnp.where(fmask, c, 0), axis=0)
     hands_free = carry == 0
     do_pickup = is_pickup & _can_pickup(ftype) & hands_free & (ftype != OBJ_EMPTY)
     do_drop = is_drop & (ftype == OBJ_EMPTY) & ~hands_free
@@ -331,6 +345,8 @@ def _rollout_kernel(
     compute_obs,
     env,
     ext,
+    no_obj=False,
+    static_mis=False,
 ):
     it = iter(refs)
     actions_ref = next(it)
@@ -368,7 +384,9 @@ def _rollout_kernel(
             )
         g_prev, sc_prev = g, sc
         mapped = ext.map_action(env, action) if ext is not None else action
-        g, c, sc, reward, aux = _step_block(g, c, sc, mapped, W=W, H=H)
+        g, c, sc, reward, aux = _step_block(
+            g, c, sc, mapped, W=W, H=H, no_objects=no_obj
+        )
         if ext is not None:
             fmask, fcell_prev, fcell_post = aux
             ctx = FusedCtx(
@@ -399,27 +417,36 @@ def _rollout_kernel(
         # ``lax.cond`` on "any env done" measures ~12% SLOWER than always
         # blending (tools/perf_fused_ablate.py — the Mosaic branch costs more
         # than the selects it skips).
-        fg, fc = cgrid_ref[0, 0], ccont_ref[0, 0]
+        # ``no_obj`` families never write contains (live == cache == zeros,
+        # so its blend is the identity); ``static_mis`` families have a
+        # seed-independent mission vector (same identity) — both statically
+        # skipped per the core/env.py capability contract.
+        fg = cgrid_ref[0, 0]
+        fc = ccont_ref[0, 0] if not no_obj else None
         fsc = {r: csc_ref[0, 0, r] for r in range(NUM_SC)}
-        fm = cmis_ref[0, 0]
+        fm = cmis_ref[0, 0] if not static_mis else None
         fscal = [cscal_ref[0, 0, k] for k in range(K)]
         fpl = [cpl_ref[0, 0, p] for p in range(P)]
         for r in range(1, R):
             take = used >= r
             fg = jnp.where(take[None], cgrid_ref[0, r], fg)
-            fc = jnp.where(take[None], ccont_ref[0, r], fc)
+            if not no_obj:
+                fc = jnp.where(take[None], ccont_ref[0, r], fc)
             for q in range(NUM_SC):
                 fsc[q] = jnp.where(take, csc_ref[0, r, q], fsc[q])
-            fm = jnp.where(take[None], cmis_ref[0, r], fm)
+            if not static_mis:
+                fm = jnp.where(take[None], cmis_ref[0, r], fm)
             for k in range(K):
                 fscal[k] = jnp.where(take, cscal_ref[0, r, k], fscal[k])
             for p in range(P):
                 fpl[p] = jnp.where(take[None], cpl_ref[0, r, p], fpl[p])
         g = jnp.where(done[None], fg, g)
-        c = jnp.where(done[None], fc, c)
+        if not no_obj:
+            c = jnp.where(done[None], fc, c)
         for q in range(NUM_SC):
             sc[q] = jnp.where(done, fsc[q], sc[q])
-        mis = jnp.where(done[None], fm, mis)
+        if not static_mis:
+            mis = jnp.where(done[None], fm, mis)
         scal = tuple(
             jnp.where(done, fscal[k], scal[k]) for k in range(K)
         )
@@ -635,6 +662,8 @@ def fused_rollout_core(
         compute_obs=bool(compute_obs),
         env=env,
         ext=ext,
+        no_obj=bool(getattr(env, "fused_no_objects", False)),
+        static_mis=bool(getattr(env, "fused_static_mission", False)),
     )
 
     def maybe(x):

@@ -1,0 +1,73 @@
+"""Packed leading-axis gather over pytrees.
+
+A per-leaf ``tree.map(lambda a: a[idx], tree)`` issues one TPU gather per
+leaf; with the small rows typical of env-state pytrees (a handful of int32
+scalars, an 8x8 grid) each gather runs at the hardware's per-row rate and the
+op count multiplies the cost (measured 13.7 ms for a 30-leaf, 50 MB level
+pool).  ``tree_take`` instead packs every leaf into ONE [N, words] int32
+buffer (bitcasting non-int32 dtypes, widening bools), performs a single
+gather, and slices the leaves back out — same result, one gather, ~3x faster
+on the measured pool.  Used by the pooled BabyAI reset-cache compaction
+(envs/babyai/core/level.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def tree_take(tree, idx: jnp.ndarray):
+    """``jax.tree.map(lambda a: a[idx], tree)`` via one packed gather.
+
+    Every leaf must share the same leading axis length; ``idx`` is an int32
+    index vector into that axis.  Bool leaves are widened to int32 for the
+    packed buffer and narrowed back; other non-int32 dtypes ride as int32
+    bitcasts (4-byte dtypes only).
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    if not leaves:
+        return tree
+    n = leaves[0].shape[0]
+    cols = []
+    for leaf in leaves:
+        assert leaf.shape[0] == n, "tree_take: ragged leading axis"
+        flat = leaf.reshape(n, -1)
+        if flat.dtype == jnp.bool_:
+            flat = flat.astype(jnp.int32)
+        elif flat.dtype != jnp.int32:
+            assert flat.dtype.itemsize == 4, f"tree_take: {flat.dtype} leaf"
+            flat = jax.lax.bitcast_convert_type(flat, jnp.int32)
+        cols.append(flat)
+    packed = jnp.concatenate(cols, axis=1)[idx]
+    out, o = [], 0
+    for leaf in leaves:
+        w = math.prod(leaf.shape[1:])
+        chunk = packed[:, o : o + w]
+        o += w
+        if leaf.dtype == jnp.bool_:
+            chunk = chunk != 0
+        elif leaf.dtype != jnp.int32:
+            chunk = jax.lax.bitcast_convert_type(chunk, leaf.dtype)
+        out.append(chunk.reshape((idx.shape[0],) + leaf.shape[1:]))
+    return jax.tree.unflatten(treedef, out)
+
+
+def compact_valid_indices(valid: jnp.ndarray, total: int) -> jnp.ndarray:
+    """int32[total] indices of the valid entries of bool[N] ``valid`` in
+    order, wrapping around when fewer than ``total`` are valid.
+
+    Equivalent to ``jnp.argsort(~valid)[jnp.arange(total) % nvalid]`` (stable
+    sort puts valid indices first, in order) but built from a cumsum + one
+    tiny scatter instead of a full bitonic argsort.
+    """
+    n = valid.shape[0]
+    vi = valid.astype(jnp.int32)
+    nvalid = jnp.maximum(vi.sum(), 1)
+    dest = jnp.where(valid, jnp.cumsum(vi) - 1, n)  # invalid -> OOB, dropped
+    first = jnp.zeros((total,), jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop"
+    )
+    return first[jnp.arange(total) % nvalid]
