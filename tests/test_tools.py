@@ -26,8 +26,10 @@ def test_state_hash_deterministic(doorkey_state):
     env, state = doorkey_state
     assert state_hash(state) == state_hash(state)
     assert len(state_hash(state, size=20)) == 20
-    # A different episode hashes differently.
-    _, other = jax.jit(env.reset)(jax.random.PRNGKey(1))
+    # A different state hashes differently.  (Comparing two reset seeds is
+    # NOT a sound check here: 5x5 DoorKey has so few layouts that two seeds
+    # can legitimately draw the same episode — observed with seeds 0/1.)
+    other = state.replace(agent_dir=(state.agent_dir + 1) % 4)
     assert state_hash(other) != state_hash(state)
 
 

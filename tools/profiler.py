@@ -57,8 +57,51 @@ def _bench(fn, *args, reps: int = 5):
     return best
 
 
+def _bench_chain(step, carry, lengths=(4, 8), reps: int = 3):
+    """Marginal per-iteration seconds of a chained ``carry -> (carry, live)``
+    step under ``lax.scan`` — scanned differencing (t[b] - t[a]) / (b - a).
+
+    This is the steady-state cost a real consumer pays: iterations are
+    data-dependent and run back-to-back on device, so the axon tunnel's
+    ~25 ms fixed dispatch+fetch overhead (measure with ``rtt``) is paid once
+    per host call instead of once per iteration.  The PPO/IMPALA metrics
+    have measured this way since round 3 (bench.py `_ppo_steps_per_sec`);
+    round 4 extends it to every throughput metric — ``live`` outputs are
+    reduced to scalars inside the scan so nothing is dead-code-eliminated.
+    """
+    import jax
+
+    def runner(k):
+        @jax.jit
+        def run(c):
+            def body(cc, _):
+                cc, live = step(cc)
+                return cc, jax.tree.map(lambda x: x.sum(), live)
+
+            cc, lives = jax.lax.scan(body, c, None, length=k)
+            return jax.tree.map(lambda x: x.sum(), lives)
+
+        return run
+
+    times = {}
+    for k in lengths:
+        f = runner(k)
+        out = f(carry)
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = f(carry)
+            jax.block_until_ready(out)
+            best = min(best, time.perf_counter() - t0)
+        times[k] = best
+    a, b = lengths
+    return max((times[b] - times[a]) / (b - a), 1e-9)
+
+
 def rollout_sps(env_id: str, num_envs: int, num_steps: int, fused: bool | str = "auto"):
-    """Raw random-policy rollout steps/s (the bench.py headline shape)."""
+    """Raw random-policy rollout steps/s (the bench.py headline shape),
+    measured as the scanned marginal (see ``_bench_chain``)."""
     import jax
 
     import minigrid_tpu as mg
@@ -68,7 +111,14 @@ def rollout_sps(env_id: str, num_envs: int, num_steps: int, fused: bool | str = 
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
     _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k1, num_envs))
-    t = _bench(lambda k: rollout_random(env, states, k, num_steps, 2, fused), k2)
+
+    def step(c):
+        st, kk = c
+        kk, kr = jax.random.split(kk)
+        st, total_r, dones = rollout_random(env, st, kr, num_steps, 2, fused)
+        return (st, kk), (total_r, dones)
+
+    t = _bench_chain(step, (states, k2))
     return num_envs * num_steps / t
 
 
@@ -90,12 +140,17 @@ def obs_sps(env_id: str, num_envs: int, num_steps: int, fused: bool = True):
     if fused and fused_eligible(env, num_envs):
         from minigrid_tpu.ops.fused_rollout import fused_rollout
 
-        t = _bench(lambda k: fused_rollout(env, states, k, num_steps, 2, True), k2)
+        def fstep(c):
+            st, kk = c
+            kk, kr = jax.random.split(kk)
+            st, total_r, dones, chk = fused_rollout(env, st, kr, num_steps, 2, True)
+            return (st, kk), (total_r, chk)
+
+        t = _bench_chain(fstep, (states, k2))
         return num_envs * num_steps / t
 
     obs_batch = jax.vmap(env.observation)
 
-    @jax.jit
     def roll(states, k):
         def body(carry, _):
             st, kk, acc = carry
@@ -105,9 +160,15 @@ def obs_sps(env_id: str, num_envs: int, num_steps: int, fused: bool = True):
             return (st, kk, acc + obs_batch(st)["image"].astype(jnp.int32).sum()), None
 
         (st, _, acc), _ = jax.lax.scan(body, (states, k, jnp.int32(0)), None, length=num_steps)
-        return acc
+        return st, acc
 
-    t = _bench(lambda k: roll(states, k), k2)
+    def xstep(c):
+        st, kk = c
+        kk, kr = jax.random.split(kk)
+        st, acc = roll(st, kr)
+        return (st, kk), acc
+
+    t = _bench_chain(xstep, (states, k2))
     return num_envs * num_steps / t
 
 
@@ -268,11 +329,14 @@ def actor_collect_sps(env_id: str, num_envs: int, num_steps: int):
     _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k1, num_envs))
     obs0 = jax.vmap(lambda s: env.observation_packed(s).reshape(v * v))(states)
     params = model.init(k2, obs0[:1], states.agent_dir[:1], packed=True)
-    t = _bench(
-        lambda k: fused_actor_rollout(env, params, states, k, num_steps, 2),
-        k3,
-        reps=3,
-    )
+
+    def step(c):
+        st, kk = c
+        kk, kr = jax.random.split(kk)
+        st, traj = fused_actor_rollout(env, params, st, kr, num_steps, 2)
+        return (st, kk), (traj["reward"], traj["logp"])
+
+    t = _bench_chain(step, (states, k3))
     return num_envs * num_steps / t
 
 
@@ -295,7 +359,14 @@ def babyai_ablate(env_id: str, num_envs: int, num_steps: int, resets: int = 2):
     cache_fn = jax.jit(
         lambda k: env.batch_reset_cache(k, num_envs, resets), static_argnums=()
     )
-    t_cache = _bench(cache_fn, k2, reps=3)
+
+    def cstep(c):
+        (kk,) = c
+        kk, kr = jax.random.split(kk)
+        cch = cache_fn(kr)
+        return (kk,), (cch.grid, cch.step_count)
+
+    t_cache = _bench_chain(cstep, (k2,))
     cache = cache_fn(k2)
 
     import jax.numpy as jnp
@@ -303,14 +374,21 @@ def babyai_ablate(env_id: str, num_envs: int, num_steps: int, resets: int = 2):
     actions = jax.random.randint(
         k3, (num_steps, num_envs), 0, env.num_actions, jnp.int32
     )
-    t_kernel = _bench(
-        lambda a: fused_rollout_core(env, states, cache, a, False)[1], actions, reps=3
-    )
-    t_full = _bench(
-        lambda k: fused_rollout(env, states, k, num_steps, resets, False)[1],
-        k3,
-        reps=3,
-    )
+
+    def kstep(c):
+        st, kk = c
+        st, total_r, dones, chk = fused_rollout_core(env, st, cache, actions, False)
+        return (st, kk), (total_r, dones)
+
+    t_kernel = _bench_chain(kstep, (states, k3))
+
+    def fstep(c):
+        st, kk = c
+        kk, kr = jax.random.split(kk)
+        st, total_r, dones, chk = fused_rollout(env, st, kr, num_steps, resets, False)
+        return (st, kk), (total_r, dones)
+
+    t_full = _bench_chain(fstep, (states, k3))
     n_steps = num_envs * num_steps
     # ``cache_s`` (generation jitted standalone) overstates the in-program
     # cost: inside fused_rollout XLA fuses generation straight into the
@@ -342,7 +420,13 @@ def wfc_levels_per_sec(preset: str = "MazeSimple", batch: int = 64):
     solve = jax.jit(
         jax.vmap(lambda k: wfc_solve(k, adj, w, jnp.zeros((23, 23)), periodic=False, max_attempts=64))
     )
-    tt = _bench(lambda k: solve(jax.random.split(k, batch)), jax.random.PRNGKey(3), reps=3)
+    def step(c):
+        (kk,) = c
+        kk, kr = jax.random.split(kk)
+        out = solve(jax.random.split(kr, batch))
+        return (kk,), out
+
+    tt = _bench_chain(step, (jax.random.PRNGKey(3),))
     return batch / tt
 
 
