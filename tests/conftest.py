@@ -9,13 +9,20 @@ is set through jax.config, which applies at backend initialization.
 
 import os
 
-os.environ["PALLAS_AXON_POOL_IPS"] = ""  # disable the axon TPU plugin hook
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+if os.environ.get("RUN_TPU_PERF"):
+    # The opt-in perf lane (tests/test_perf_tpu.py) must see the REAL chip;
+    # forcing cpu here would silently skip every floor assertion (the lane
+    # ran 0 TPU tests before this guard).  Run it alone:
+    #     RUN_TPU_PERF=1 python -m pytest tests/test_perf_tpu.py
+    import jax  # noqa: E402
+else:
+    os.environ["PALLAS_AXON_POOL_IPS"] = ""  # disable the axon TPU plugin hook
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
-import jax  # noqa: E402
+    import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: the default suite is compile-dominated (the
 # top test durations are all first-compiles of the fused Pallas kernels), so

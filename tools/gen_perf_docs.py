@@ -21,6 +21,11 @@ OUT = os.path.join(ROOT, "docs", "content", "performance.md")
 # (bench key, label, scale) — display order.  Scale "M" renders millions.
 METRICS = [
     ("value", "Empty-8x8 raw rollout (headline)", "M"),
+    (
+        "value_single_dispatch_blocking",
+        "Empty-8x8 raw rollout (blocking single dispatch, r1-r3 methodology)",
+        "M",
+    ),
     ("obs_consumed_steps_per_sec", "Obs-consumed rollout (fused kernel)", "M"),
     ("obs_consumed_xla_steps_per_sec", "Obs-consumed rollout (XLA fallback)", "M"),
     ("empty5x5_steps_per_sec", "Empty-5x5", "M"),
@@ -73,9 +78,18 @@ def main():
         "Round-over-round throughput on one TPU v5e chip (driver-recorded",
         "`BENCH_r*.json`; units are env-steps/s unless noted, `—` = not yet",
         "tracked that round).  The measurement methodology lives in",
-        "`bench.py` (best-of-N timed rollouts, scanned-differencing marginal",
-        "rates for the learners) and the regression floors in",
-        "`tools/perf_trend.json` + `tests/test_perf_tpu.py`.",
+        "`bench.py` and the regression floors in `tools/perf_trend.json` +",
+        "`tests/test_perf_tpu.py`.",
+        "",
+        "**Methodology note:** from round 4 every throughput metric is the",
+        "scanned marginal — data-dependent rollout chunks chained under a",
+        "jitted `lax.scan`, differenced `(t[8]-t[4])/4` — the steady-state",
+        "rate a real consumer gets.  Rounds 1-3 measured blocking single",
+        "dispatches, which for sub-100 ms workloads mostly measured the",
+        "axon tunnel's fixed ~24 ms dispatch+fetch round trip; the learner",
+        "metrics (PPO/IMPALA) have used scanned differencing since round 3,",
+        "so their columns are comparable across all rounds.  The blocking",
+        "headline is retained as its own row for continuity.",
         "",
         "| Metric | " + " | ".join(f"r{n}" for n in ns) + " |",
         "|---|" + "---|" * len(ns),
