@@ -149,10 +149,26 @@ class MiniGridEnv:
         axis R) for amortized auto-reset inside a rollout chunk."""
         return jax.vmap(self._generate)(jax.random.split(key, num_resets))
 
+    # Opt-in: build the reset cache from ONE flat vmap over num_envs *
+    # num_resets generate calls instead of the nested per-env form below.
+    # Both draw iid levels from fresh key splits (identical distribution);
+    # which lowers faster is family-specific — measured on the v5e,
+    # LavaCrossingS9N2's generator (permutation + sort + dynamic-bound
+    # randints) is 10x FASTER flat (69.4 -> 6.8 ms for the 65536x2 cache)
+    # and ObstructedMaze ~1.7x, while FourRooms is faster nested — so this
+    # stays per-family opt-in rather than the default.
+    flat_reset_pool: bool = False
+
     def batch_reset_cache(self, key: jax.Array, num_envs: int, num_resets: int):
         """[num_envs, num_resets] cache of fresh episodes.  Families with
         attempt-level rejection sampling override this with a pooled
         generator (see babyai RoomGridLevel.batch_reset_cache)."""
+        if self.flat_reset_pool:
+            total = num_envs * num_resets
+            states = jax.vmap(self._generate)(jax.random.split(key, total))
+            return jax.tree.map(
+                lambda a: a.reshape((num_envs, num_resets) + a.shape[1:]), states
+            )
         return jax.vmap(self.reset_cache, in_axes=(0, None))(
             jax.random.split(key, num_envs), num_resets
         )

@@ -45,6 +45,10 @@ class ObstructedMazeEnv(RoomGridEnvBase):
     balls; success = picking up the blue ball
     (reference: minigrid/envs/obstructedmaze.py:126-167)."""
 
+    # Flat-pool reset cache: measured 1.7 -> 0.98 ms for the 8192x2 cache
+    # (scanned marginal, v5e); see MiniGridEnv.flat_reset_pool.
+    flat_reset_pool = True
+
     def __init__(self, num_rows: int, num_cols: int, num_rooms_visited: int, max_steps: int | None = None, **kwargs):
         room_size = 6
         if max_steps is None:
