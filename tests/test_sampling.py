@@ -77,3 +77,26 @@ def test_tree_take_matches_per_leaf_gather():
     for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
         assert g.dtype == w.dtype and g.shape == w.shape
         assert (g == w).all()
+
+
+def test_flat_reset_pool_cache_matches_nested_structure():
+    """The flat-pool reset cache (core/env.py flat_reset_pool) must produce
+    a cache with exactly the nested form's pytree structure, shapes and
+    dtypes — consumers (fused kernels, step_cached, shard_map collectors)
+    see no difference beyond which iid levels were drawn."""
+    import minigrid_tpu as mg
+
+    env = mg.make("MiniGrid-LavaCrossingS9N2-v0")
+    assert env.flat_reset_pool
+    key = jax.random.PRNGKey(5)
+    flat = env.batch_reset_cache(key, 4, 2)
+    nested = jax.vmap(env.reset_cache, in_axes=(0, None))(
+        jax.random.split(key, 4), 2
+    )
+    assert jax.tree.structure(flat) == jax.tree.structure(nested)
+    for a, b in zip(jax.tree.leaves(flat), jax.tree.leaves(nested)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+    # Levels are fresh and well-formed: every slot has a goal cell.
+    from minigrid_tpu.core.constants import OBJ_GOAL, cell_type
+
+    assert bool((cell_type(flat.grid) == OBJ_GOAL).any(axis=(-1, -2)).all())
