@@ -66,7 +66,11 @@ def compact_valid_indices(valid: jnp.ndarray, total: int) -> jnp.ndarray:
     n = valid.shape[0]
     vi = valid.astype(jnp.int32)
     nvalid = jnp.maximum(vi.sum(), 1)
-    dest = jnp.where(valid, jnp.cumsum(vi) - 1, n)  # invalid -> OOB, dropped
+    # The drop sentinel must be out of bounds for the [total]-length scatter
+    # target, not just for [n]: with total > n a sentinel of ``n`` would be a
+    # VALID index and every invalid entry would scatter-collide there.
+    oob = max(n, total)
+    dest = jnp.where(valid, jnp.cumsum(vi) - 1, oob)  # invalid -> OOB, dropped
     first = jnp.zeros((total,), jnp.int32).at[dest].set(
         jnp.arange(n, dtype=jnp.int32), mode="drop"
     )
