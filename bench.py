@@ -94,18 +94,41 @@ def _chain_marginal(step, carry, lengths=(4, 8), reps=3):
     return max((times[b] - times[a]) / (b - a), 1e-9)
 
 
-def _rollout_sps(env, num_envs, key):
+def _rollout_sps(env, num_envs, key, env_id=None):
+    """(marginal sps, blocking sps, R) for one tracked config.
+
+    R is the covering reset-cache size from the measured episode-rate table
+    (parallel/reset_budget), and the published numbers are certified
+    replay-free: ``assert_chain_covered`` runs the same jitted step chained
+    and fails the bench if any env consumed more than R cache slots."""
+    from minigrid_tpu.parallel.reset_budget import assert_chain_covered, resets_for
+
+    resets = resets_for(env, NUM_STEPS, env_id)
     k_reset, k_roll = jax.random.split(key)
     _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k_reset, num_envs))
 
     def step(c):
         st, kk = c
         kk, kr = jax.random.split(kk)
-        st, total_r, dones = rollout_random(env, st, kr, NUM_STEPS)
-        return (st, kk), (total_r, dones)
+        st, total_r, dones, mu = rollout_random(env, st, kr, NUM_STEPS, resets)
+        return (st, kk), (total_r, dones, mu)
 
     t = _chain_marginal(step, (states, k_roll))
-    return num_envs * NUM_STEPS / t
+    assert_chain_covered(step, (states, k_roll), resets, env)
+
+    # Blocking single-dispatch variant of the SAME workload (includes the
+    # axon tunnel's fixed ~25 ms dispatch+fetch per call) — kept per metric
+    # so blocking-vs-marginal methodologies are never mixed in one series.
+    run = jax.jit(lambda st, kr: rollout_random(env, st, kr, NUM_STEPS, resets))
+    out = run(states, jax.random.fold_in(k_roll, 999))
+    jax.block_until_ready(out)
+    best = float("inf")
+    for i in range(3):
+        t0 = time.perf_counter()
+        out = run(states, jax.random.fold_in(k_roll, 1000 + i))
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return num_envs * NUM_STEPS / t, num_envs * NUM_STEPS / best, resets
 
 
 def _wfc_levels_per_sec(batch: int = 64, reps: int = 3):
@@ -295,7 +318,7 @@ def main():
     def _head_step(c):
         st, kk = c
         kk, kr = jax.random.split(kk)
-        st, total_r, dones = rollout_random(env, st, kr, NUM_STEPS)
+        st, total_r, dones, _mu = rollout_random(env, st, kr, NUM_STEPS)
         return (st, kk), (total_r, dones)
 
     sps = NUM_ENVS * NUM_STEPS / _chain_marginal(_head_step, (states, k_roll))
@@ -309,10 +332,16 @@ def main():
     if fused_eligible(env, NUM_ENVS):
         from minigrid_tpu.ops.fused_rollout import fused_rollout
 
+        from minigrid_tpu.parallel.reset_budget import resets_for
+
+        _obs_resets = resets_for(env, NUM_STEPS)  # Empty-8x8: deterministic, 1
+
         def _obs_step(c):
             st, kk = c
             kk, kr = jax.random.split(kk)
-            st, total_r, dones, chk = fused_rollout(env, st, kr, NUM_STEPS, 2, True)
+            st, total_r, dones, chk, _mu = fused_rollout(
+                env, st, kr, NUM_STEPS, _obs_resets, True
+            )
             return (st, kk), (total_r, chk)
 
         obs_fused_sps = NUM_ENVS * NUM_STEPS / _chain_marginal(
@@ -358,20 +387,30 @@ def main():
         "vs_baseline": round(sps / BASELINE_STEPS_PER_SEC, 4),
         "measurement": "scanned marginal (t[8]-t[4])/4; see bench.py docstring",
         "value_single_dispatch_blocking": round(sps_blocking),
+        "vs_baseline_blocking": round(sps_blocking / BASELINE_STEPS_PER_SEC, 4),
         "obs_consumed_steps_per_sec": round(obs_fused_sps or obs_sps),
         "obs_consumed_xla_steps_per_sec": round(obs_sps),
     }
 
+    reset_budget_used = {}
     for json_key, env_id, n in TRACKED:
         # zlib.crc32, not hash(): string hashes are PYTHONHASHSEED-randomized,
         # which would make the measurement keys differ between runs.
         fold = zlib.crc32(env_id.encode()) % 2**31
         try:
             e = mg.make(env_id)
-            result[json_key] = round(_rollout_sps(e, n, jax.random.fold_in(key, fold)))
+            marginal, blocking, resets = _rollout_sps(
+                e, n, jax.random.fold_in(key, fold), env_id
+            )
+            result[json_key] = round(marginal)
+            result[json_key + "_blocking"] = round(blocking)
+            reset_budget_used[json_key] = resets
         except Exception as exc:  # one bad config must not kill the bench line
             result[json_key] = None
             print(f"# {json_key} failed: {exc!r}", file=sys.stderr)
+    # The per-env reset-cache sizes every number above was measured (and
+    # certified replay-free) at — see parallel/reset_budget.py.
+    result["reset_budget"] = reset_budget_used
 
     ppo, ppo_single, ppo_pipe = _ppo_steps_per_sec()
     if ppo is not None:

@@ -72,10 +72,10 @@ def benchmark(
 
     # -- batched step throughput --
     _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(key, num_envs))
-    states, _, _ = rollout_random(env, states, key, num_steps)  # compile
+    states, _, _, _ = rollout_random(env, states, key, num_steps)  # compile
     jax.block_until_ready(states.step_count)
     t0 = time.perf_counter()
-    states, _, _ = rollout_random(env, states, jax.random.fold_in(key, 1), num_steps)
+    states, _, _, _ = rollout_random(env, states, jax.random.fold_in(key, 1), num_steps)
     jax.block_until_ready(states.step_count)
     steps_per_sec = num_envs * num_steps / (time.perf_counter() - t0)
 

@@ -126,6 +126,14 @@ class MiniGridEnv:
     # (minigrid_tpu/parallel/vector.py) instead of regenerating every step.
     expensive_reset: bool = False
 
+    # ``_generate``'s level is the same for EVERY key (the key only seeds the
+    # state's rng chain) — e.g. fixed-start Empty, DistShift.  A 1-slot reset
+    # cache then reproduces the reference's fresh-level-per-reset contract
+    # exactly (every "fresh" level equals every other), so these families are
+    # exempt from the covering-R sizing in parallel/reset_budget.py.  May be
+    # set per-instance (EmptyEnv: only when agent_start_pos is fixed).
+    deterministic_generation: bool = False
+
     # Kernel-specialization capability flags (ops/fused_rollout.py /
     # ops/actor_rollout.py).  Purely an optimization contract — the XLA path
     # ignores them, and per-family fused-vs-XLA bit-exactness tests
@@ -178,9 +186,15 @@ class MiniGridEnv:
 
         ``cache`` holds R fresh episodes (leading axis); ``used`` counts
         resets already consumed — the r-th episode end pulls cache slot
-        min(r, R-1).  Identical per-step semantics to :meth:`step`; only the
-        reset-time level distribution is amortized (levels are drawn once per
-        rollout chunk rather than per step).
+        min(r, R-1).  Identical per-step semantics to :meth:`step` AS LONG AS
+        no env consumes more than R resets in the chunk: past that the last
+        slot is REPLAYED, a level stream the reference's fresh-reset contract
+        (reference: minigrid/minigrid_env.py:119-143) never produces.  Every
+        caller must therefore size R to cover the config's episode rate
+        (parallel/reset_budget.resets_for) and check the returned ``used``
+        against R — ``used.max() <= R`` certifies the chunk was replay-free
+        (``deterministic_generation`` families are exempt: all their fresh
+        levels are identical, so replay IS the reference distribution).
 
         Returns (obs, state, reward, terminated, truncated, used).
         """

@@ -18,6 +18,10 @@ class DistShiftEnv(MiniGridEnv):
     """Two lava strips; variant 1 has the second strip at row 2, variant 2 at
     row 5 (reference: minigrid/envs/distshift.py:65-121)."""
 
+    # Fixed layout, fixed start: the level is key-independent
+    # (core/env.py deterministic_generation).
+    deterministic_generation = True
+
     def __init__(
         self,
         width: int = 9,

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from minigrid_tpu.core import grid as g
 from minigrid_tpu.core.constants import (
@@ -23,6 +24,7 @@ from minigrid_tpu.ops import fused_ext as fx
 from minigrid_tpu.ops.prng import threefry2x32, uniform_index
 
 _MISSION = register_mission("get to the green goal square")
+_MISSION_VEC = np.asarray(mission_vec(_MISSION))
 
 BALL_CELL = cell(OBJ_BALL, COLOR_BLUE)
 
@@ -103,9 +105,11 @@ class DynamicObstaclesEnv(MiniGridEnv):
     parity path (compat/parity.py ParityRollout).
     """
 
-    # Level generation (placement rejection loops / river-path sampling)
-    # costs multiples of a step; batched rollouts amortize it through the
-    # per-chunk reset cache (minigrid_tpu/parallel/vector.py).
+    # XLA-path rollouts amortize generation through the per-chunk reset
+    # cache (minigrid_tpu/parallel/vector.py); the fused kernels instead
+    # regenerate fresh levels IN-KERNEL on every episode end (the ext's
+    # covers_reset/reset_block below) — exact iid resets at this family's
+    # high episode rate with no cache at all.
     expensive_reset = True
 
     def __init__(
@@ -298,6 +302,74 @@ class _DynamicObstaclesFusedExt(fx.FusedExt):
         collided = (ctx.action == 2) & (ctx.scal[2 * self.n] != 0)
         reward = jnp.where(collided, -1.0, ctx.reward)
         return collided, reward, ctx.scal, ctx.planes
+
+    # Fresh-episode twin (covers_reset): the level is a constant scaffold
+    # (border walls + corner goal) plus n sequential uniform placements over
+    # free cells — exactly _generate's acceptance rule (place_obj_pos:
+    # uniform over empty cells not under the agent, the reference's
+    # place_obj rejection loop, minigrid/minigrid_env.py:339-364) — driven
+    # from the counter stream so the kernel regenerates on EVERY reset: the
+    # reference's fresh-level contract at any episode rate, no cache.
+    covers_reset = True
+
+    def reset_block(self, env, W, H, seed0, seed1, ep_idx):
+        S = jnp.asarray(seed0).shape
+        WH = W * H
+        e0, e1 = fx.episode_seed(seed0, seed1, ep_idx)
+        g = fx.walled_plane(W, H, S, [(W - 2, H - 2, GOAL_CELL)])
+        idx = jax.lax.broadcasted_iota(jnp.int32, (WH,) + tuple(S), 0)
+
+        draws = []  # one uniform word per draw, counter-indexed
+        n_draw = (2 if env.agent_start_pos is None else 0) + self.n
+        for j in range((n_draw + 1) // 2):
+            draws.extend(fx.place_draw(e0, e1, j))
+        draws = iter(draws)
+
+        zero = jnp.zeros(S, jnp.int32)
+        if env.agent_start_pos is not None:
+            ax = zero + jnp.int32(env.agent_start_pos[0])
+            ay = zero + jnp.int32(env.agent_start_pos[1])
+            d = zero + jnp.int32(env.agent_start_dir)
+        else:
+            free = (g & 0xFF) == OBJ_EMPTY
+            cnt = jnp.sum(free.astype(jnp.int32), axis=0)
+            t = uniform_index(next(draws), jnp.maximum(cnt, 1))
+            alin = fx.nth_true_index(free, t, zero)
+            ax, ay = alin // H, alin % H
+            d = uniform_index(next(draws), zero + 4)
+        agent_lin = ax * H + ay
+
+        scal = []
+        for _ in range(self.n):
+            free = ((g & 0xFF) == OBJ_EMPTY) & (idx != agent_lin[None])
+            cnt = jnp.sum(free.astype(jnp.int32), axis=0)
+            t = uniform_index(next(draws), jnp.maximum(cnt, 1))
+            olin = fx.nth_true_index(free, t, zero)
+            g = jnp.where(idx == olin[None], jnp.int32(_BALL), g)
+            scal += [olin // H, olin % H]
+
+        ws0, ws1 = threefry2x32(
+            e0, e1, jnp.uint32(_WALK_TAG[0]), jnp.uint32(_WALK_TAG[1])
+        )
+        scal += [
+            zero,  # front_not_clear
+            jax.lax.bitcast_convert_type(ws0, jnp.int32),
+            jax.lax.bitcast_convert_type(ws1, jnp.int32),
+        ]
+
+        sc = {
+            fx.ROW_AX: ax,
+            fx.ROW_AY: ay,
+            fx.ROW_DIR: d,
+            fx.ROW_CARRY: zero,
+            fx.ROW_STEP: zero,
+            fx.ROW_MAX: zero + jnp.int32(env.max_steps),
+            fx.ROW_TERM: zero,
+            fx.ROW_TRUNC: zero,
+        }
+        c = jnp.zeros((WH,) + tuple(S), jnp.int32)
+        mis = fx.scalar_rows(_MISSION_VEC, S)
+        return g, c, sc, mis, tuple(scal), ()
 
 
 # Kernel specialization (core/env.py flags): the action remap clamps every

@@ -4,15 +4,19 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from minigrid_tpu.core import grid as g
-from minigrid_tpu.core.constants import GOAL_CELL
+from minigrid_tpu.core.constants import GOAL_CELL, OBJ_EMPTY
+from minigrid_tpu.ops import fused_ext as fx
+from minigrid_tpu.ops.prng import uniform_index
 from minigrid_tpu.core.env import MiniGridEnv
 from minigrid_tpu.core.mission import mission_vec, register_mission
 from minigrid_tpu.core.sampling import place_obj_pos, rand_dir
 from minigrid_tpu.core.state import EnvState, new_state
 
 _MISSION = register_mission("get to the green goal square")
+_MISSION_VEC = np.asarray(mission_vec(_MISSION))
 
 
 class EmptyEnv(MiniGridEnv):
@@ -38,6 +42,14 @@ class EmptyEnv(MiniGridEnv):
         )
         self.agent_start_pos = agent_start_pos
         self.agent_start_dir = agent_start_dir
+        # With a fixed start the level is key-independent — see
+        # core/env.py deterministic_generation.  With a RANDOM start the
+        # level is one uniform placement over a constant scaffold, so the
+        # fused kernels regenerate it in-kernel on every reset
+        # (_EmptyRandomResetExt below) — exact iid resets with no cache.
+        self.deterministic_generation = agent_start_pos is not None
+        if agent_start_pos is None:
+            self.fused_ext = _EmptyRandomResetExt()
 
     def _generate(self, key: jax.Array) -> EnvState:
         w, h = self.width, self.height
@@ -63,6 +75,41 @@ class EmptyEnv(MiniGridEnv):
 
     def mission_text(self, mission=None) -> str:
         return "get to the green goal square"
+
+
+class _EmptyRandomResetExt(fx.FusedExt):
+    """Counter-reset twin for random-start Empty (ops/fused_ext.FusedExt):
+    identity step hooks, in-kernel fresh-episode generation — the level is
+    the constant walls+goal scaffold plus one uniform agent placement over
+    empty cells (reference place_agent rejection rule,
+    minigrid/minigrid_env.py:313-337) and a uniform direction."""
+
+    covers_reset = True
+
+    def reset_block(self, env, W, H, seed0, seed1, ep_idx):
+        S = jnp.asarray(seed0).shape
+        WH = W * H
+        e0, e1 = fx.episode_seed(seed0, seed1, ep_idx)
+        b0, b1 = fx.place_draw(e0, e1, 0)
+        g = fx.walled_plane(W, H, S, [(W - 2, H - 2, GOAL_CELL)])
+        zero = jnp.zeros(S, jnp.int32)
+        free = (g & 0xFF) == OBJ_EMPTY
+        cnt = jnp.sum(free.astype(jnp.int32), axis=0)
+        t = uniform_index(b0, jnp.maximum(cnt, 1))
+        alin = fx.nth_true_index(free, t, zero)
+        sc = {
+            fx.ROW_AX: alin // H,
+            fx.ROW_AY: alin % H,
+            fx.ROW_DIR: uniform_index(b1, zero + 4),
+            fx.ROW_CARRY: zero,
+            fx.ROW_STEP: zero,
+            fx.ROW_MAX: zero + jnp.int32(env.max_steps),
+            fx.ROW_TERM: zero,
+            fx.ROW_TRUNC: zero,
+        }
+        c = jnp.zeros((WH,) + tuple(S), jnp.int32)
+        mis = fx.scalar_rows(_MISSION_VEC, S)
+        return g, c, sc, mis, (), ()
 
 
 # Kernel specialization (core/env.py flags): Empty grids hold only

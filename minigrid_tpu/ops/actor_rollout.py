@@ -176,15 +176,23 @@ def _actor_kernel(
     ext,
     no_obj=False,
     static_mis=False,
+    counter_reset=False,
 ):
     it = iter(refs)
     noise_ref = next(it)
     grid_i, cont_i, sc_i, mis_i = next(it), next(it), next(it), next(it)
     scal_i = next(it) if K else None
     pl_i = next(it) if P else None
-    cgrid_ref, ccont_ref, csc_ref, cmis_ref = next(it), next(it), next(it), next(it)
-    cscal_ref = next(it) if K else None
-    cpl_ref = next(it) if P else None
+    if counter_reset:
+        seeds_ref = next(it)
+        cgrid_ref = ccont_ref = csc_ref = cmis_ref = None
+        cscal_ref = cpl_ref = None
+    else:
+        cgrid_ref, ccont_ref, csc_ref, cmis_ref = (
+            next(it), next(it), next(it), next(it),
+        )
+        cscal_ref = next(it) if K else None
+        cpl_ref = next(it) if P else None
     w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref = (
         next(it), next(it), next(it), next(it), next(it), next(it),
     )
@@ -284,25 +292,37 @@ def _actor_kernel(
     # contract) — their blends and scratch rewrites are statically skipped.
     used = used_s[0]
     mis = mis_s[:, :]
-    fg = cgrid_ref[0, 0]
-    fc = ccont_ref[0, 0] if not no_obj else None
-    fsc = {r: csc_ref[0, 0, r] for r in range(NUM_SC)}
-    fm = cmis_ref[0, 0] if not static_mis else None
-    fscal = [cscal_ref[0, 0, k] for k in range(K)]
-    fpl = [cpl_ref[0, 0, p] for p in range(P)]
-    for r in range(1, R):
-        take = used >= r
-        fg = jnp.where(take[None], cgrid_ref[0, r], fg)
-        if not no_obj:
-            fc = jnp.where(take[None], ccont_ref[0, r], fc)
-        for q in range(NUM_SC):
-            fsc[q] = jnp.where(take, csc_ref[0, r, q], fsc[q])
-        if not static_mis:
-            fm = jnp.where(take[None], cmis_ref[0, r], fm)
-        for k in range(K):
-            fscal[k] = jnp.where(take, cscal_ref[0, r, k], fscal[k])
-        for p in range(P):
-            fpl[p] = jnp.where(take[None], cpl_ref[0, r, p], fpl[p])
+    if counter_reset:
+        # In-kernel fresh-episode generation from the counter stream
+        # (ext.covers_reset): the reference's fresh-reset contract at any
+        # episode rate — no cache, no covering-R sizing.
+        fg, fc, fsc, fm, fscal, fpl = ext.reset_block(
+            env, W, H, seeds_ref[0, 0], seeds_ref[0, 1], used
+        )
+        fc = fc if not no_obj else None
+        fm = fm if not static_mis else None
+        fscal = list(fscal)
+        fpl = list(fpl)
+    else:
+        fg = cgrid_ref[0, 0]
+        fc = ccont_ref[0, 0] if not no_obj else None
+        fsc = {r: csc_ref[0, 0, r] for r in range(NUM_SC)}
+        fm = cmis_ref[0, 0] if not static_mis else None
+        fscal = [cscal_ref[0, 0, k] for k in range(K)]
+        fpl = [cpl_ref[0, 0, p] for p in range(P)]
+        for r in range(1, R):
+            take = used >= r
+            fg = jnp.where(take[None], cgrid_ref[0, r], fg)
+            if not no_obj:
+                fc = jnp.where(take[None], ccont_ref[0, r], fc)
+            for q in range(NUM_SC):
+                fsc[q] = jnp.where(take, csc_ref[0, r, q], fsc[q])
+            if not static_mis:
+                fm = jnp.where(take[None], cmis_ref[0, r], fm)
+            for k in range(K):
+                fscal[k] = jnp.where(take, cscal_ref[0, r, k], fscal[k])
+            for p in range(P):
+                fpl[p] = jnp.where(take[None], cpl_ref[0, r, p], fpl[p])
     g = jnp.where(done[None], fg, g)
     for q in range(NUM_SC):
         sc[q] = jnp.where(done, fsc[q], sc[q])
@@ -338,11 +358,28 @@ def _actor_kernel(
             pl_f[0] = pl_s[:, :, :]
 
 
-def supports_fused_actor(env, num_envs: int) -> bool:
+def actor_vmem_estimate(env, resets_per_chunk: int) -> int:
+    """Bytes of VMEM one kernel block needs (mirrors the vmem_limit
+    computation in :func:`fused_actor_rollout`): live planes + R-slot reset
+    cache, the bf16 one-hot scratch, and buffering headroom."""
+    ext = getattr(env, "fused_ext", None)
+    planes = ext.n_planes if ext is not None else 0
+    if ext is not None and getattr(ext, "covers_reset", False):
+        resets_per_chunk = 0  # in-kernel generation: no cache resident
+    wh = env.width * env.height
+    return (
+        int((2 + planes) * (1 + resets_per_chunk) * wh * B * 4 * 3.2)
+        + _f1(env.agent_view_size) * B * 2 * 2
+        + 8 * 1024 * 1024
+    )
+
+
+def supports_fused_actor(env, num_envs: int, resets_per_chunk: int = 2) -> bool:
     """Same family surface as the random-policy fused kernel (default-hook
     families AND ``fused_ext`` publishers — the kernel runs the ext's
     pre/map/post hooks and carries its packed scalars/planes in VMEM) plus
-    the block divisibility/VMEM constraints.  Single-device only: the
+    the block divisibility/VMEM constraints (grid + R-slot cache per block
+    against the v5e's 128 MB physical VMEM).  Single-device only: the
     learners shard with jit+in_shardings, and XLA's SPMD partitioner cannot
     partition a custom call — multi-chip meshes instead reach the kernel
     through the ``shard_map`` path in rl/rollout.py (each device runs it on
@@ -352,7 +389,8 @@ def supports_fused_actor(env, num_envs: int) -> bool:
         and jax.device_count() == 1
         and supports_fused(env)
         and num_envs % B == 0
-        and env.width * env.height <= 361
+        and env.width * env.height <= 625
+        and actor_vmem_estimate(env, resets_per_chunk) <= 100 * 1024 * 1024
     )
 
 
@@ -393,8 +431,15 @@ def fused_actor_rollout(
     K = ext.n_scalars if ext is not None else 0
     P = ext.n_planes if ext is not None else 0
 
+    counter_reset = bool(ext is not None and getattr(ext, "covers_reset", False))
     k_cache, k_noise, k_rng = jax.random.split(key, 3)
-    cache = env.batch_reset_cache(k_cache, N, R)
+    if counter_reset:
+        cache = None
+        seeds = jax.random.bits(k_cache, (N, 2), jnp.uint32).astype(jnp.int32)
+        R = 0
+    else:
+        cache = env.batch_reset_cache(k_cache, N, R)
+        seeds = None
     w1t, b1, w2t, b2, wh, bh = repack_actor_params(params, V)
     hidden = w1t.shape[0]
     noise = jax.random.bits(k_noise, (Eb, T, HEAD_ROWS, B), jnp.uint32).astype(jnp.int32)
@@ -423,22 +468,30 @@ def fused_actor_rollout(
     cont_b = to_rows(states.contains.reshape(N, WH))
     sc_b = to_rows(rows(states))
     mis_b = to_rows(states.mission)
-    cg = to_rows(cache.grid.reshape(N, R, WH))
-    cc = to_rows(cache.contains.reshape(N, R, WH))
-    csc = to_rows(rows(cache))
-    cm = to_rows(cache.mission)
 
     # Family-ext extra state, packed to int32 scalars/planes (fused_ext.py),
     # env axis into lanes: [Eb, K, B] / [Eb, P, WH, B] (+ R-slot caches).
     if ext is not None and (K or P):
         scal_N, pl_N = ext.pack_extra(env, states.extra)  # [N, K], [N, P, WH]
-        cscal_N, cpl_N = ext.pack_extra(env, cache.extra)  # [N, R, K], [N, R, P, WH]
         scal_b = to_rows(scal_N) if K else None
         pl_b = to_rows(pl_N) if P else None
-        cscal_b = to_rows(cscal_N) if K else None
-        cpl_b = to_rows(cpl_N) if P else None
     else:
-        scal_b = pl_b = cscal_b = cpl_b = None
+        scal_b = pl_b = None
+    if counter_reset:
+        seeds_b = to_rows(seeds)  # [Eb, 2, B]
+        cg = cc = csc = cm = cscal_b = cpl_b = None
+    else:
+        seeds_b = None
+        cg = to_rows(cache.grid.reshape(N, R, WH))
+        cc = to_rows(cache.contains.reshape(N, R, WH))
+        csc = to_rows(rows(cache))
+        cm = to_rows(cache.mission)
+        if ext is not None and (K or P):
+            cscal_N, cpl_N = ext.pack_extra(env, cache.extra)
+            cscal_b = to_rows(cscal_N) if K else None
+            cpl_b = to_rows(cpl_N) if P else None
+        else:
+            cscal_b = cpl_b = None
 
     def spec(*shape, index=None):
         if index is None:
@@ -460,6 +513,7 @@ def fused_actor_rollout(
         see_through=bool(env.see_through_walls), env=env, ext=ext,
         no_obj=bool(getattr(env, "fused_no_objects", False)),
         static_mis=bool(getattr(env, "fused_static_mission", False)),
+        counter_reset=counter_reset,
     )
 
     def maybe(x):
@@ -503,14 +557,18 @@ def fused_actor_rollout(
             ]
             + ([spec(K, B)] if K else [])
             + ([spec(P, WH, B)] if P else [])
-            + [
-                spec(R, WH, B),
-                spec(R, WH, B),
-                spec(R, NUM_SC, B),
-                spec(R, MISSION_DIM, B),
-            ]
-            + ([spec(R, K, B)] if K else [])
-            + ([spec(R, P, WH, B)] if P else [])
+            + (
+                [spec(2, B)]
+                if counter_reset
+                else [
+                    spec(R, WH, B),
+                    spec(R, WH, B),
+                    spec(R, NUM_SC, B),
+                    spec(R, MISSION_DIM, B),
+                ]
+                + ([spec(R, K, B)] if K else [])
+                + ([spec(R, P, WH, B)] if P else [])
+            )
             + [
                 wspec(hidden, F1),
                 wspec(hidden, 1),
@@ -562,9 +620,11 @@ def fused_actor_rollout(
             [noise, grid_b, cont_b, sc_b, mis_b]
             + maybe(scal_b)
             + maybe(pl_b)
-            + [cg, cc, csc, cm]
-            + maybe(cscal_b)
-            + maybe(cpl_b)
+            + (
+                [seeds_b]
+                if counter_reset
+                else [cg, cc, csc, cm] + maybe(cscal_b) + maybe(cpl_b)
+            )
             + [w1t, b1, w2t, b2, wh, bh]
         )
     )

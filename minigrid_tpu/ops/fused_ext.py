@@ -113,6 +113,17 @@ class FusedExt:
     # seed carried in the packed scalars) — the kernel does not thread the
     # jax.random split chain.
     covers_pre_step: bool = False
+    # True when ``reset_block`` below generates a FRESH episode in-kernel
+    # from a counter-based stream.  The fused kernels then replace the reset
+    # cache entirely for this family: exact iid resets at ANY episode rate
+    # (the reference's fresh-level-per-reset contract,
+    # minigrid/minigrid_env.py:119-143, with no covering-R sizing), zero
+    # cache VMEM, zero host-side generation per chunk.  Only feasible for
+    # families whose generation is expressible under the kernel's layout
+    # rules (constant scaffold + masked-uniform placements — e.g.
+    # Dynamic-Obstacles, Empty-Random); rejection-resampled RoomGrid levels
+    # keep the cache.
+    covers_reset: bool = False
 
     def pack_extra(self, env, extra):
         """extra pytree (leaves [..., inner]) ->
@@ -143,6 +154,133 @@ class FusedExt:
         """
         zero = jnp.zeros_like(ctx.action, bool)
         return zero, ctx.reward, ctx.scal, ctx.planes
+
+    def reset_block(self, env, W, H, seed0, seed1, ep_idx):
+        """Fresh episode per env from the counter stream (covers_reset
+        families only).  ``seed0``/``seed1``: per-env int32 chunk seeds
+        [*S]; ``ep_idx``: the per-env episode ordinal [*S] (the ``used``
+        counter) — distinct ordinals must yield independent levels.
+
+        Shape-polymorphic over the env axes ``*S`` exactly like the step
+        hooks: with ``*S = ()`` it is the XLA single-env twin (used by the
+        equivalence tests and :meth:`reset_state`); with ``*S = (E2, 8,
+        128)`` / ``(B,)`` it is the kernel body — the SAME trace, so
+        fused-vs-XLA bit-exactness is by construction.  Distribution parity
+        with ``env._generate`` is enforced separately
+        (tests/test_counter_reset.py).
+
+        Returns ``(g, c, sc, mis, scal, planes)``: packed grid [WH, *S],
+        contains plane [WH, *S], the 8 scalar rows (dict ROW_* -> [*S]),
+        mission [M, *S], and the family's packed extra (tuple of [*S]
+        scalars, tuple of [WH, *S] planes).  The kernels may statically
+        ignore ``c``/``mis`` under the family's fused_no_objects /
+        fused_static_mission capability flags.
+        """
+        raise NotImplementedError
+
+    def reset_state(self, env, seed0, seed1, ep_idx):
+        """XLA-side convenience: one fresh ``EnvState`` from
+        :meth:`reset_block` at scalar shapes (``*S = ()``)."""
+        from minigrid_tpu.core.state import EnvState
+
+        W, H = env.width, env.height
+        g, c, sc, mis, scal, planes = self.reset_block(
+            env, W, H, seed0, seed1, ep_idx
+        )
+        extra = None
+        if self.n_scalars or self.n_planes:
+            scal_v = (
+                jnp.stack(list(scal), axis=-1) if self.n_scalars else None
+            )
+            pl_v = (
+                jnp.stack([p for p in planes], axis=-2)
+                if self.n_planes
+                else None
+            )
+            extra = self.unpack_extra(env, scal_v, pl_v)
+        return EnvState(
+            grid=g.reshape(W, H),
+            contains=c.reshape(W, H),
+            agent_x=sc[ROW_AX],
+            agent_y=sc[ROW_AY],
+            agent_dir=sc[ROW_DIR],
+            carrying=sc[ROW_CARRY],
+            step_count=sc[ROW_STEP],
+            max_steps=sc[ROW_MAX],
+            terminated=sc[ROW_TERM] != 0,
+            truncated=sc[ROW_TRUNC] != 0,
+            mission=mis,
+            rng=jax.random.PRNGKey(0),  # never consumed (counter streams)
+            extra=extra,
+        )
+
+
+# Domain-separation tags for the counter-reset stream (reset_block): the
+# per-episode sub-seed is one threefry application of the chunk seed with
+# the episode ordinal, and every placement draw within the episode uses the
+# episode sub-seed with a draw counter — collision-free with the obstacle
+# walk's (step_count, i) counters by the tag word.
+RESET_TAG = 0x72657365  # "rese"
+PLACE_TAG = 0x706C6163  # "plac"
+
+
+def episode_seed(seed0, seed1, ep_idx):
+    """Per-episode threefry sub-seed from the per-env chunk seed."""
+    from minigrid_tpu.ops.prng import threefry2x32
+
+    e0, e1 = threefry2x32(seed0, seed1, ep_idx, jnp.int32(RESET_TAG))
+    return (
+        jax.lax.bitcast_convert_type(e0, jnp.int32),
+        jax.lax.bitcast_convert_type(e1, jnp.int32),
+    )
+
+
+def place_draw(e0, e1, j):
+    """j-th placement word pair of an episode (uint32, uint32)."""
+    from minigrid_tpu.ops.prng import threefry2x32
+
+    return threefry2x32(e0, e1, jnp.int32(PLACE_TAG), jnp.asarray(j, jnp.int32))
+
+
+def nth_true_index(m, target, fallback):
+    """Per-env linear index of the ``target``-th True of bool[WH, *S] ``m``
+    (0-based), ``fallback`` where the mask has <= target set bits.  Unrolled
+    running count over the small leading cell axis — Mosaic has no cumsum
+    lowering (same construction as the obstacle walk,
+    envs/dynamicobstacles.py walk_obstacles)."""
+    mi = m.astype(jnp.int32)
+    acc = jnp.zeros_like(target)
+    out = fallback
+    for w in range(m.shape[0]):
+        hit = m[w] & (acc == target)
+        out = jnp.where(hit, jnp.int32(w), out)
+        acc = acc + mi[w]
+    return out
+
+
+def walled_plane(W, H, S, extra_cells=()):
+    """Packed base grid [WH, *S] built IN-TRACE from iota + scalar constants
+    (Pallas kernels cannot capture array constants): border walls + (x, y,
+    cell) extras.  ``extra_cells`` values must be concrete Python ints."""
+    from minigrid_tpu.core.constants import EMPTY_CELL, WALL_CELL
+
+    WH = W * H
+    idx = jax.lax.broadcasted_iota(jnp.int32, (WH,) + tuple(S), 0)
+    xs, ys = idx // H, idx % H
+    border = (xs == 0) | (ys == 0) | (xs == W - 1) | (ys == H - 1)
+    g = jnp.where(border, jnp.int32(int(WALL_CELL)), jnp.int32(int(EMPTY_CELL)))
+    for x, y, cellv in extra_cells:
+        g = jnp.where(idx == int(x) * H + int(y), jnp.int32(int(cellv)), g)
+    return g
+
+
+def scalar_rows(values, S):
+    """Concrete int list/array [M] -> [M, *S] block, row by scalar broadcast
+    (in-trace constructible; no captured array constants)."""
+    import numpy as np
+
+    vals = [int(v) for v in np.asarray(values).reshape(-1)]
+    return jnp.stack([jnp.full(tuple(S), v, jnp.int32) for v in vals])
 
 
 def pack_pos_pairs(*pairs):

@@ -347,15 +347,23 @@ def _rollout_kernel(
     ext,
     no_obj=False,
     static_mis=False,
+    counter_reset=False,
 ):
     it = iter(refs)
     actions_ref = next(it)
     grid_i, cont_i, sc_i, mis_i = next(it), next(it), next(it), next(it)
     scal_i = next(it) if K else None
     pl_i = next(it) if P else None
-    cgrid_ref, ccont_ref, csc_ref, cmis_ref = next(it), next(it), next(it), next(it)
-    cscal_ref = next(it) if K else None
-    cpl_ref = next(it) if P else None
+    if counter_reset:
+        seeds_ref = next(it)
+        cgrid_ref = ccont_ref = csc_ref = cmis_ref = None
+        cscal_ref = cpl_ref = None
+    else:
+        cgrid_ref, ccont_ref, csc_ref, cmis_ref = (
+            next(it), next(it), next(it), next(it),
+        )
+        cscal_ref = next(it) if K else None
+        cpl_ref = next(it) if P else None
     grid_o, cont_o, sc_o, mis_o = next(it), next(it), next(it), next(it)
     scal_o = next(it) if K else None
     pl_o = next(it) if P else None
@@ -412,8 +420,13 @@ def _rollout_kernel(
         rew_acc = rew_acc + reward
         done_acc = done_acc + done.astype(jnp.int32)
 
-        # Auto-reset from the cache (step_cached semantics,
-        # core/env.py:145-165).  Unconditional predicated blend: a
+        # Auto-reset.  ``counter_reset`` families (ext.covers_reset)
+        # regenerate a FRESH level in-kernel from the counter stream on
+        # every episode end — the reference's fresh-reset contract at any
+        # episode rate, no cache.  Everyone else blends from the R-slot
+        # pre-generated cache (step_cached semantics, core/env.py:176-215;
+        # the caller sizes R to cover the measured episode rate,
+        # parallel/reset_budget).  Unconditional predicated blend: a
         # ``lax.cond`` on "any env done" measures ~12% SLOWER than always
         # blending (tools/perf_fused_ablate.py — the Mosaic branch costs more
         # than the selects it skips).
@@ -421,25 +434,34 @@ def _rollout_kernel(
         # so its blend is the identity); ``static_mis`` families have a
         # seed-independent mission vector (same identity) — both statically
         # skipped per the core/env.py capability contract.
-        fg = cgrid_ref[0, 0]
-        fc = ccont_ref[0, 0] if not no_obj else None
-        fsc = {r: csc_ref[0, 0, r] for r in range(NUM_SC)}
-        fm = cmis_ref[0, 0] if not static_mis else None
-        fscal = [cscal_ref[0, 0, k] for k in range(K)]
-        fpl = [cpl_ref[0, 0, p] for p in range(P)]
-        for r in range(1, R):
-            take = used >= r
-            fg = jnp.where(take[None], cgrid_ref[0, r], fg)
-            if not no_obj:
-                fc = jnp.where(take[None], ccont_ref[0, r], fc)
-            for q in range(NUM_SC):
-                fsc[q] = jnp.where(take, csc_ref[0, r, q], fsc[q])
-            if not static_mis:
-                fm = jnp.where(take[None], cmis_ref[0, r], fm)
-            for k in range(K):
-                fscal[k] = jnp.where(take, cscal_ref[0, r, k], fscal[k])
-            for p in range(P):
-                fpl[p] = jnp.where(take[None], cpl_ref[0, r, p], fpl[p])
+        if counter_reset:
+            fg, fc, fsc, fm, fscal, fpl = ext.reset_block(
+                env, W, H, seeds_ref[0, 0], seeds_ref[0, 1], used
+            )
+            fc = fc if not no_obj else None
+            fm = fm if not static_mis else None
+            fscal = list(fscal)
+            fpl = list(fpl)
+        else:
+            fg = cgrid_ref[0, 0]
+            fc = ccont_ref[0, 0] if not no_obj else None
+            fsc = {r: csc_ref[0, 0, r] for r in range(NUM_SC)}
+            fm = cmis_ref[0, 0] if not static_mis else None
+            fscal = [cscal_ref[0, 0, k] for k in range(K)]
+            fpl = [cpl_ref[0, 0, p] for p in range(P)]
+            for r in range(1, R):
+                take = used >= r
+                fg = jnp.where(take[None], cgrid_ref[0, r], fg)
+                if not no_obj:
+                    fc = jnp.where(take[None], ccont_ref[0, r], fc)
+                for q in range(NUM_SC):
+                    fsc[q] = jnp.where(take, csc_ref[0, r, q], fsc[q])
+                if not static_mis:
+                    fm = jnp.where(take[None], cmis_ref[0, r], fm)
+                for k in range(K):
+                    fscal[k] = jnp.where(take, cscal_ref[0, r, k], fscal[k])
+                for p in range(P):
+                    fpl[p] = jnp.where(take[None], cpl_ref[0, r, p], fpl[p])
         g = jnp.where(done[None], fg, g)
         if not no_obj:
             c = jnp.where(done[None], fc, c)
@@ -545,10 +567,13 @@ def fused_rollout(
 ):
     """Run ``num_steps`` random-policy steps via the fused kernel.
 
-    Returns ``(final_states, total_reward, episodes_finished, obs_checksum)``
-    with the same trajectory semantics as the reset-cache path of
+    Returns ``(final_states, total_reward, episodes_finished, obs_checksum,
+    max_used)`` with the same trajectory semantics as the reset-cache path of
     ``rollout_random`` (parallel/vector.py): identical per-step transition,
     auto-reset drawn from ``resets_per_chunk`` pre-generated levels per env.
+    ``max_used`` is the largest slot count any env consumed — callers size R
+    via parallel/reset_budget and assert ``max_used <= R`` (slot R-1 is
+    replayed past that, which the reference's fresh-reset contract forbids).
     The returned states carry a fresh fold of ``key`` as their rng (the
     kernel does not thread the per-env key chain; default-hook families
     never consume it mid-episode).
@@ -557,15 +582,23 @@ def fused_rollout(
     T = int(num_steps)
     R = int(resets_per_chunk)
     k_cache, k_act, k_rng = jax.random.split(key, 3)
-    cache = env.batch_reset_cache(k_cache, N, R)
     actions = jax.random.randint(k_act, (T, N), 0, env.num_actions, jnp.int32)
-    final, total_r, total_done, obs_checksum = fused_rollout_core(
-        env, states, cache, actions, compute_obs, interpret
+    ext = getattr(env, "fused_ext", None)
+    if ext is not None and getattr(ext, "covers_reset", False):
+        # In-kernel fresh-episode generation: per-env counter seeds instead
+        # of a pre-generated cache (no covering-R sizing, no generation).
+        cache = None
+        seeds = jax.random.bits(k_cache, (N, 2), jnp.uint32).astype(jnp.int32)
+    else:
+        cache = env.batch_reset_cache(k_cache, N, R)
+        seeds = None
+    final, total_r, total_done, obs_checksum, max_used = fused_rollout_core(
+        env, states, cache, actions, compute_obs, interpret, seeds
     )
     final = final.replace(
         rng=jax.vmap(jax.random.fold_in, (None, 0))(k_rng, jnp.arange(N))
     )
-    return final, total_r, total_done, obs_checksum
+    return final, total_r, total_done, obs_checksum, max_used
 
 
 @partial(jax.jit, static_argnums=(0, 4, 5))
@@ -576,11 +609,17 @@ def fused_rollout_core(
     actions,
     compute_obs: bool = True,
     interpret: bool | None = None,
+    reset_seeds=None,
 ):
     """Fused kernel over explicit ``actions`` int32[T, N] and reset ``cache``
     (leaves [N, R, ...]).  The returned states keep the INPUT rng unchanged
     (callers re-key; see fused_rollout).  Exposed separately so tests can
     drive the kernel and the XLA ``step_cached`` scan with identical inputs.
+
+    ``covers_reset`` families (ext in-kernel generation) take ``reset_seeds``
+    int32[N, 2] instead of a cache (pass ``cache=None``): every episode end
+    regenerates fresh from the counter stream, so ``max_used`` is 0 — no
+    cache slots exist to exhaust.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -590,7 +629,12 @@ def fused_rollout_core(
     K = ext.n_scalars if ext is not None else 0
     P = ext.n_planes if ext is not None else 0
     T = actions.shape[0]
-    R = jax.tree.leaves(cache)[0].shape[1]
+    counter_reset = bool(ext is not None and getattr(ext, "covers_reset", False))
+    if counter_reset:
+        assert reset_seeds is not None, "covers_reset family needs reset_seeds"
+        R = 0
+    else:
+        R = jax.tree.leaves(cache)[0].shape[1]
     # Block size is VMEM-budgeted: live planes + their R-slot reset cache is
     # ~(2 + P) * (1 + R) * WH * B * 4 bytes; a 2048-env block fits
     # comfortably up to ~12x12 grids at P=0/R=2, larger grids
@@ -627,22 +671,32 @@ def fused_rollout_core(
     mis_b = _to_env_tiles(states.mission, Eb, E2)
     act_b = actions.reshape(T, Eb, E2, 8, 128).transpose(1, 0, 2, 3, 4)
 
-    # Cache leaves are [N, R, ...] (core/env.py batch_reset_cache).
-    cg = _to_env_tiles(cache.grid.reshape(N, R, WH), Eb, E2)
-    cc = _to_env_tiles(cache.contains.reshape(N, R, WH), Eb, E2)
-    csc = _to_env_tiles(sc_of(cache), Eb, E2)  # [Eb, R, NUM_SC, *S]
-    cm = _to_env_tiles(cache.mission, Eb, E2)
-
     # Family-ext extra state, packed to int32 scalars/planes (fused_ext.py).
     if ext is not None and (K or P):
         scal_N, pl_N = ext.pack_extra(env, states.extra)  # [N, K], [N, P, WH]
-        cscal_N, cpl_N = ext.pack_extra(env, cache.extra)  # [N, R, K], [N, R, P, WH]
         scal_b = _to_env_tiles(scal_N, Eb, E2) if K else None
         pl_b = _to_env_tiles(pl_N, Eb, E2) if P else None
-        cscal_b = _to_env_tiles(cscal_N, Eb, E2) if K else None
-        cpl_b = _to_env_tiles(cpl_N, Eb, E2) if P else None
     else:
-        scal_b = pl_b = cscal_b = cpl_b = None
+        scal_b = pl_b = None
+
+    if counter_reset:
+        seeds_b = _to_env_tiles(
+            jnp.asarray(reset_seeds, jnp.int32).reshape(N, 2), Eb, E2
+        )
+        cg = cc = csc = cm = cscal_b = cpl_b = None
+    else:
+        # Cache leaves are [N, R, ...] (core/env.py batch_reset_cache).
+        seeds_b = None
+        cg = _to_env_tiles(cache.grid.reshape(N, R, WH), Eb, E2)
+        cc = _to_env_tiles(cache.contains.reshape(N, R, WH), Eb, E2)
+        csc = _to_env_tiles(sc_of(cache), Eb, E2)  # [Eb, R, NUM_SC, *S]
+        cm = _to_env_tiles(cache.mission, Eb, E2)
+        if ext is not None and (K or P):
+            cscal_N, cpl_N = ext.pack_extra(env, cache.extra)
+            cscal_b = _to_env_tiles(cscal_N, Eb, E2) if K else None
+            cpl_b = _to_env_tiles(cpl_N, Eb, E2) if P else None
+        else:
+            cscal_b = cpl_b = None
 
     def spec(*shape):
         return pl.BlockSpec(
@@ -664,18 +718,34 @@ def fused_rollout_core(
         ext=ext,
         no_obj=bool(getattr(env, "fused_no_objects", False)),
         static_mis=bool(getattr(env, "fused_static_mission", False)),
+        counter_reset=counter_reset,
     )
 
     def maybe(x):
         return [x] if x is not None else []
 
+    if counter_reset:
+        reset_inputs = [seeds_b]
+        reset_specs = [spec(2, *S)]
+    else:
+        reset_inputs = (
+            [cg, cc, csc, cm] + maybe(cscal_b) + maybe(cpl_b)
+        )
+        reset_specs = (
+            [
+                spec(R, WH, *S),
+                spec(R, WH, *S),
+                spec(R, NUM_SC, *S),
+                spec(R, MISSION_DIM, *S),
+            ]
+            + (maybe(spec(R, K, *S)) if K else [])
+            + (maybe(spec(R, P, WH, *S)) if P else [])
+        )
     inputs = (
         [act_b, grid_b, cont_b, sc_b, mis_b]
         + maybe(scal_b)
         + maybe(pl_b)
-        + [cg, cc, csc, cm]
-        + maybe(cscal_b)
-        + maybe(cpl_b)
+        + reset_inputs
     )
     in_specs = (
         [
@@ -687,14 +757,7 @@ def fused_rollout_core(
         ]
         + (maybe(spec(K, *S)) if K else [])
         + (maybe(spec(P, WH, *S)) if P else [])
-        + [
-            spec(R, WH, *S),
-            spec(R, WH, *S),
-            spec(R, NUM_SC, *S),
-            spec(R, MISSION_DIM, *S),
-        ]
-        + (maybe(spec(R, K, *S)) if K else [])
-        + (maybe(spec(R, P, WH, *S)) if P else [])
+        + reset_specs
     )
     out_shapes = (
         [
@@ -772,4 +835,9 @@ def fused_rollout_core(
     total_r = _from_env_tiles(rew_f).sum()
     total_done = _from_env_tiles(done_f).sum()
     obs_checksum = _from_env_tiles(obs_f).sum()
-    return final, total_r, total_done, obs_checksum
+    # counter_reset: every reset regenerated fresh in-kernel — there is no
+    # cache to exhaust, so the consumed-slot maximum is 0 by construction.
+    max_used = (
+        jnp.zeros((), jnp.int32) if counter_reset else _from_env_tiles(used_f).max()
+    )
+    return final, total_r, total_done, obs_checksum, max_used

@@ -78,20 +78,22 @@ def sharded_rollout(
     key: jax.Array,
     num_steps: int,
     axis_name: str = "data",
-    resets_per_chunk: int = 2,
+    resets_per_chunk: int | None = None,
 ):
     """Random-policy rollout over mesh-sharded states.
 
     The per-env computation is embarrassingly parallel, so XLA partitions the
     scan with zero collectives; the returned reward/episode totals are the
-    only cross-device reductions.  Returns (states, total_reward, episodes).
+    only cross-device reductions.  Returns (states, total_reward, episodes,
+    max_used) — see rollout_random for the reset-budget contract on
+    ``max_used``.
     """
     shard = NamedSharding(mesh, P(axis_name))
     repl = NamedSharding(mesh, P())
     run = jax.jit(
         lambda s, k: _rollout(env, s, k, num_steps, resets_per_chunk),
         in_shardings=(jax.tree.map(lambda _: shard, states), repl),
-        out_shardings=(jax.tree.map(lambda _: shard, states), repl, repl),
+        out_shardings=(jax.tree.map(lambda _: shard, states), repl, repl, repl),
     )
     return run(states, key)
 
@@ -103,7 +105,7 @@ def sharded_rollout_fused(
     key: jax.Array,
     num_steps: int,
     axis_name: str = "data",
-    resets_per_chunk: int = 2,
+    resets_per_chunk: int | None = None,
     fused: bool | str = "auto",
 ):
     """Mesh rollout where EACH DEVICE runs the whole-rollout fused Pallas
@@ -118,7 +120,8 @@ def sharded_rollout_fused(
     XLA scan per shard when the kernel is ineligible (non-TPU backend,
     non-default-hook family, shard not a multiple of the kernel block).
 
-    Returns (states, total_reward, episodes) with totals replicated.
+    Returns (states, total_reward, episodes, max_used) with totals
+    replicated (``max_used``: reset-budget contract, see rollout_random).
     """
     shard_map = jax.shard_map
 
@@ -140,13 +143,14 @@ def sharded_rollout_fused(
 
     def local(states, key):
         k = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-        final, total_r, total_done = rollout_random(
+        final, total_r, total_done, max_used = rollout_random(
             env, states, k, num_steps, resets_per_chunk, fused
         )
         return (
             final,
             jax.lax.psum(total_r, axis_name),
             jax.lax.psum(total_done, axis_name),
+            jax.lax.pmax(max_used, axis_name),
         )
 
     spec = jax.tree.map(lambda _: P(axis_name), states)
@@ -154,7 +158,7 @@ def sharded_rollout_fused(
         local,
         mesh=mesh,
         in_specs=(spec, P()),
-        out_specs=(spec, P(), P()),
+        out_specs=(spec, P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(run)(states, key)

@@ -31,14 +31,23 @@ class VectorEnv:
         return self._step(states, actions)
 
 
-def fused_eligible(env, num_envs: int) -> bool:
+def fused_eligible(env, num_envs: int, resets_per_chunk: int | None = None) -> bool:
     """Whether the whole-rollout fused kernel (ops/fused_rollout.py) can run
     this configuration: TPU backend, default-hook family, env count divisible
-    by the kernel block, and a grid small enough that a block's state +
-    reset cache fits VMEM."""
+    by the kernel block, and a grid + R-slot reset cache small enough that a
+    block fits VMEM (the estimate mirrors fused_rollout_core's
+    vmem_limit computation against the v5e's 128 MB physical VMEM)."""
     from minigrid_tpu.ops.fused_rollout import supports_fused
+    from minigrid_tpu.parallel.reset_budget import resets_for
 
     wh = env.width * env.height
+    if resets_per_chunk is None:
+        resets_per_chunk = resets_for(env, 256)
+    ext = getattr(env, "fused_ext", None)
+    planes = ext.n_planes if ext is not None else 0
+    if ext is not None and getattr(ext, "covers_reset", False):
+        resets_per_chunk = 0  # in-kernel generation: no cache resident
+    vmem_est = (2 + planes) * (1 + resets_per_chunk) * wh * 1024 * 4 * 3.2
     return (
         jax.devices()[0].platform == "tpu"
         # Single-device only: XLA's SPMD partitioner cannot partition the
@@ -48,8 +57,8 @@ def fused_eligible(env, num_envs: int) -> bool:
         and supports_fused(env)
         and num_envs % 1024 == 0
         and num_envs >= 1024
-        and wh <= 361  # 19x19 fits a 1024-env block's VMEM budget (see
-        # fused_rollout_core's E2 choice); MultiRoom-scale 25x25 does not.
+        and wh <= 625  # up to MultiRoom-scale 25x25 (VMEM gate below)
+        and vmem_est <= 100 * 1024 * 1024
     )
 
 
@@ -59,35 +68,45 @@ def rollout_random(
     states,
     key: jax.Array,
     num_steps: int,
-    resets_per_chunk: int = 2,
+    resets_per_chunk: int | None = None,
     fused: bool | str = "auto",
 ):
     """Scan ``num_steps`` uniform-random actions over a batch of states.
 
-    Returns (final_states, total_reward, episodes_finished).  Used by the
-    throughput benchmark; the policy-driven variant lives in
-    minigrid_tpu.rl.
+    Returns (final_states, total_reward, episodes_finished, max_used):
+    ``max_used`` is the largest reset-cache slot count any env consumed
+    (0 on the per-step-regeneration path, where exhaustion cannot occur).
+    ``max_used <= resets_per_chunk`` certifies the chunk matched the
+    reference's fresh-level-per-reset contract (core/env.py step_cached);
+    bench.py and tools/profiler.py assert exactly this on the runs whose
+    numbers they publish.
 
     For ``env.expensive_reset`` families the fused per-step regeneration is
     replaced by a per-chunk reset cache of ``resets_per_chunk`` pre-generated
     levels per env (identical step semantics; level draws amortized).
+    ``resets_per_chunk=None`` sizes the cache from the measured episode-rate
+    table (parallel/reset_budget.resets_for).
 
     ``fused="auto"`` routes eligible configurations (see ``fused_eligible``)
     through the whole-rollout Pallas kernel, which keeps every env's grid in
     VMEM across the full step->reset->obs chain and uses the same per-chunk
     reset cache (R = ``resets_per_chunk``) for ALL families it covers.
     """
+    from minigrid_tpu.parallel.reset_budget import resets_for
+
     num_envs = states.step_count.shape[0]
+    if resets_per_chunk is None:
+        resets_per_chunk = resets_for(env, num_steps)
 
     if fused == "auto":
-        fused = fused_eligible(env, num_envs)
+        fused = fused_eligible(env, num_envs, resets_per_chunk)
     if fused:
         from minigrid_tpu.ops.fused_rollout import fused_rollout
 
-        final, total_r, total_done, _ = fused_rollout(
+        final, total_r, total_done, _, max_used = fused_rollout(
             env, states, key, num_steps, resets_per_chunk, compute_obs=False
         )
-        return final, total_r, total_done
+        return final, total_r, total_done, max_used
 
     if env.expensive_reset:
         key, k_cache = jax.random.split(key)
@@ -114,10 +133,10 @@ def rollout_random(
             jnp.zeros((), jnp.float32),
             jnp.zeros((), jnp.int32),
         )
-        (states, _, _, total_r, total_done), _ = jax.lax.scan(
+        (states, used, _, total_r, total_done), _ = jax.lax.scan(
             body, init, None, length=num_steps
         )
-        return states, total_r, total_done
+        return states, total_r, total_done, used.max()
 
     step_batch = jax.vmap(env.step)
 
@@ -136,4 +155,4 @@ def rollout_random(
     (states, _, total_r, total_done), _ = jax.lax.scan(
         body, init, None, length=num_steps
     )
-    return states, total_r, total_done
+    return states, total_r, total_done, jnp.zeros((), jnp.int32)

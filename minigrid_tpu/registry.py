@@ -39,7 +39,11 @@ def make(env_id: str, **overrides: Any):
     cls, kwargs = _REGISTRY[env_id]
     merged = dict(kwargs)
     merged.update(overrides)
-    return cls(**merged)
+    env = cls(**merged)
+    # Stamp the id so config tables keyed by registry id (e.g.
+    # parallel/reset_budget) can resolve it from the instance.
+    env.env_id = env_id
+    return env
 
 
 def registered_ids() -> list[str]:

@@ -40,7 +40,9 @@ class IMPALAConfig(NamedTuple):
     entropy_coef: float = 0.01
     learning_rate: float = 3e-4
     max_grad_norm: float = 0.5
-    resets_per_chunk: int = 2
+    # None sizes the reset cache from the measured episode-rate table
+    # (parallel/reset_budget.resets_for); see PPOConfig.resets_per_chunk.
+    resets_per_chunk: int | None = None
     num_minibatches: int = 8
     update_epochs: int = 1
 
@@ -104,7 +106,14 @@ def make_impala(
 ):
     """Build (init_fn, train_step_fn) — same contract as rl/ppo.make_ppo
     (including the ``mesh`` shard_map rollout for multi-chip)."""
+    from minigrid_tpu.parallel.reset_budget import resets_for
+
     model = ActorCritic(hidden=hidden, num_actions=env.num_actions)
+    _resets_per_chunk = (
+        config.resets_per_chunk
+        if config.resets_per_chunk is not None
+        else resets_for(env, config.rollout_steps)
+    )
     tx = optax.chain(
         optax.clip_by_global_norm(config.max_grad_norm),
         optax.adam(config.learning_rate, eps=1e-5),
@@ -161,7 +170,7 @@ def make_impala(
             state.env_states,
             key=state.key,
             rollout_steps=config.rollout_steps,
-            resets_per_chunk=config.resets_per_chunk,
+            resets_per_chunk=_resets_per_chunk,
             fused_actor=True,  # policy_apply IS the standard packed forward
             mesh=mesh,
             axis_name=axis_name,
@@ -247,6 +256,11 @@ def make_impala(
             "entropy": entropy,
             "reward_per_step": traj.reward.mean(),
             "episodes": traj.done.sum(),
+            # Reset-budget certification (parallel/reset_budget): must stay
+            # <= the configured resets_per_chunk for honest iid resets.
+            "max_episodes_per_chunk": traj.done.astype(jnp.int32)
+            .sum(axis=0)
+            .max(),
         }
         return TrainState(params, opt_state, env_states, key), metrics
 

@@ -30,8 +30,12 @@ class PPOConfig(NamedTuple):
     entropy_coef: float = 0.01
     learning_rate: float = 2.5e-4
     max_grad_norm: float = 0.5
-    # Pre-generated levels per env per rollout for expensive-reset families.
-    resets_per_chunk: int = 2
+    # Pre-generated levels per env per rollout chunk.  None sizes the cache
+    # from the measured episode-rate table (parallel/reset_budget.resets_for)
+    # — an undersized cache silently replays its last level, violating the
+    # reference's fresh-reset contract; monitor the emitted
+    # ``max_episodes_per_chunk`` metric against this value.
+    resets_per_chunk: int | None = None
     # Gradient minibatches per update (bounds the one-hot featurization's
     # activation memory at large env counts) and epochs over the rollout.
     num_minibatches: int = 8
@@ -66,7 +70,14 @@ def make_ppo(
     which cannot partition a custom call), while GAE and the minibatched
     update stay on the partitioner as before.
     """
+    from minigrid_tpu.parallel.reset_budget import resets_for
+
     model = ActorCritic(hidden=hidden, num_actions=env.num_actions)
+    resets_per_chunk = (
+        config.resets_per_chunk
+        if config.resets_per_chunk is not None
+        else resets_for(env, config.rollout_steps)
+    )
     if config.lr_anneal_updates is None:
         lr = config.learning_rate
     else:
@@ -102,7 +113,7 @@ def make_ppo(
         # image stored flat to avoid minor-dim tile blowup.
         return collect_trajectory(
             env, policy_apply, params, env_states, key,
-            config.rollout_steps, config.resets_per_chunk,
+            config.rollout_steps, resets_per_chunk,
             fused_actor=True,  # policy_apply IS the standard packed forward
             mesh=mesh, axis_name=axis_name,
         )
@@ -234,6 +245,12 @@ def make_ppo(
             "entropy": entropy,
             "reward_per_step": reward.mean(),
             "episodes": done.sum(),
+            # Reset-budget certification (parallel/reset_budget): the most
+            # episodes any env finished this chunk.  Exceeding the
+            # configured resets_per_chunk means the reset cache replayed
+            # its last level (reference contract violation) — exempt for
+            # deterministic_generation families.
+            "max_episodes_per_chunk": done.astype(jnp.int32).sum(axis=0).max(),
         }
         return params, opt_state, key, metrics
 

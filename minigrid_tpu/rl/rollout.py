@@ -36,10 +36,11 @@ def collect_trajectory(
     env_states,
     key: jax.Array,
     rollout_steps: int,
-    resets_per_chunk: int = 2,
+    resets_per_chunk: int | None = None,
     fused_actor: bool = False,
     mesh=None,
     axis_name: str = "data",
+    kernel_interpret: bool = False,
 ):
     """Scan ``rollout_steps`` policy steps; returns (env_states, key, Trajectory).
 
@@ -63,31 +64,45 @@ def collect_trajectory(
     for the (partitioner-handled) update that follows.
     """
     num_envs = env_states.step_count.shape[0]
+    if resets_per_chunk is None:
+        # Covering cache size for honest iid resets (an undersized cache
+        # replays its last level past exhaustion — see parallel/reset_budget).
+        from minigrid_tpu.parallel.reset_budget import resets_for
+
+        resets_per_chunk = resets_for(env, rollout_steps)
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
 
         shard_map = jax.shard_map
 
         from minigrid_tpu.ops.actor_rollout import B as _BLOCK
-        from minigrid_tpu.ops.actor_rollout import fused_actor_rollout
+        from minigrid_tpu.ops.actor_rollout import (
+            actor_vmem_estimate,
+            fused_actor_rollout,
+        )
         from minigrid_tpu.ops.fused_rollout import supports_fused
 
         num_devices = mesh.devices.size
         assert num_envs % num_devices == 0
         per_shard = num_envs // num_devices
-        use_kernel = (
+        # ``kernel_interpret`` forces the kernel route in Pallas interpret
+        # mode — how the default-lane tests drive this exact shard_map+kernel
+        # composition on the virtual CPU mesh (tests/test_shard_map_rollout).
+        use_kernel = kernel_interpret or (
             fused_actor
             and jax.devices()[0].platform == "tpu"
             and supports_fused(env)
             and per_shard % _BLOCK == 0
-            and env.width * env.height <= 361
+            and env.width * env.height <= 625
+            and actor_vmem_estimate(env, resets_per_chunk) <= 100 * 1024 * 1024
         )
 
         def local(params, states, key):
             k = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
             if use_kernel:
                 states, traj = fused_actor_rollout(
-                    env, params, states, k, rollout_steps, resets_per_chunk
+                    env, params, states, k, rollout_steps, resets_per_chunk,
+                    interpret=kernel_interpret or None,
                 )
                 return states, Trajectory(**traj)
             states, _, traj = collect_trajectory(
@@ -114,7 +129,7 @@ def collect_trajectory(
             supports_fused_actor,
         )
 
-        if supports_fused_actor(env, num_envs):
+        if supports_fused_actor(env, num_envs, resets_per_chunk):
             key, k_roll = jax.random.split(key)
             env_states, traj = fused_actor_rollout(
                 env, params, env_states, k_roll, rollout_steps, resets_per_chunk

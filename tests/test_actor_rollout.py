@@ -125,26 +125,54 @@ def test_actor_kernel_sampling_matches_softmax():
 
 
 def _replay_check(env_id, n, t, r, seed, extra_fields=True, **kwargs):
-    """Replay the kernel's own action stream through ``step_cached`` (same
-    cache) and demand bit-exact obs/reward/done per step plus the final
-    state INCLUDING the family's unpacked ``extra`` pytree."""
+    """Replay the kernel's own action stream through the XLA twin of its
+    reset semantics — ``step_cached`` with the same cache, or for
+    ``covers_reset`` families the counter-reset blend (ext.reset_state on
+    the same seed stream) — and demand bit-exact obs/reward/done per step
+    plus the final state INCLUDING the family's unpacked ``extra`` pytree."""
     env, model, params, states, key = _setup(env_id, n, seed=seed, **kwargs)
     v = env.agent_view_size
     final, traj = fused_actor_rollout(env, params, states, key, t, r, interpret=True)
 
     k_cache, _, _ = jax.random.split(key, 3)
-    cache = env.batch_reset_cache(k_cache, n, r)
+    ext = getattr(env, "fused_ext", None)
+    if ext is not None and getattr(ext, "covers_reset", False):
+        seeds = jax.random.bits(k_cache, (n, 2), jnp.uint32).astype(jnp.int32)
+
+        def one(s, a, sd, u):
+            stepped, reward = env.step_env(s, a)
+            term, trunc = stepped.terminated, stepped.truncated
+            done = term | trunc
+            fresh = ext.reset_state(env, sd[0], sd[1], u).replace(rng=stepped.rng)
+            new = jax.tree.map(
+                lambda f, b: jnp.where(
+                    jnp.reshape(done, (1,) * f.ndim) if f.ndim else done, f, b
+                ),
+                fresh,
+                stepped,
+            )
+            return new, reward, term, trunc, u + done.astype(jnp.int32)
+
+        @jax.jit
+        def step_replay(st, actions, used):
+            st, rew, term, trunc, used = jax.vmap(one)(st, actions, seeds, used)
+            return st, rew, term, trunc, used
+    else:
+        cache = env.batch_reset_cache(k_cache, n, r)
+        step_cached = jax.jit(jax.vmap(env.step_cached))
+
+        def step_replay(st, actions, used):
+            _, st, rew, term, trunc, used = step_cached(st, actions, cache, used)
+            return st, rew, term, trunc, used
+
     st, used = states, jnp.zeros((n,), jnp.int32)
-    step_cached = jax.jit(jax.vmap(env.step_cached))
     obs_fn = jax.jit(jax.vmap(lambda s: env.observation_packed(s).reshape(v * v)))
     for step in range(t):
         np.testing.assert_array_equal(
             np.asarray(obs_fn(st)), np.asarray(traj["obs"][step]),
             err_msg=f"obs t={step}",
         )
-        _, st, rew, term, trunc, used = step_cached(
-            st, traj["action"][step], cache, used
-        )
+        st, rew, term, trunc, used = step_replay(st, traj["action"][step], used)
         np.testing.assert_allclose(
             np.asarray(rew), np.asarray(traj["reward"][step]), rtol=1e-6,
             err_msg=f"reward t={step}",

@@ -210,7 +210,7 @@ def test_rollout_smoke(env_id):
 
     env = mg.make(env_id)
     _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(jax.random.PRNGKey(1), 8))
-    states, total_r, total_done = rollout_random(env, states, jax.random.PRNGKey(2), 50)
+    states, total_r, total_done, _ = rollout_random(env, states, jax.random.PRNGKey(2), 50)
     assert np.isfinite(float(total_r))
     assert np.asarray(states.grid).shape[0] == 8
 

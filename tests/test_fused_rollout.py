@@ -61,7 +61,54 @@ def xla_reference(env, states, cache, actions):
         jnp.int32(0),
     )
     (st, used, tr, td, cs), _ = jax.lax.scan(body, init, actions)
-    return st, tr, td, cs
+    return st, tr, td, cs, used.max()
+
+
+def xla_reference_counter(env, states, seeds, actions):
+    """Scan of the counter-reset semantics (ext.covers_reset): step_env +
+    fresh in-place generation from the SAME counter stream the kernel runs
+    (ext.reset_block is one shared shape-polymorphic trace), + the packed-obs
+    checksum of the post-reset state."""
+    ext = env.fused_ext
+
+    def checksum(s):
+        cells, vis = obs_mod.view_and_vis(
+            s, env.agent_view_size, env.see_through_walls
+        )
+        return jnp.where(vis, cells, 0).sum()
+
+    def one(s, a, sd, u):
+        stepped, reward = env.step_env(s, a)
+        term, trunc = stepped.terminated, stepped.truncated
+        done = term | trunc
+        fresh = ext.reset_state(env, sd[0], sd[1], u)
+        # The kernel never threads the rng chain (rng is not compared).
+        fresh = fresh.replace(rng=stepped.rng)
+        new = jax.tree.map(
+            lambda f, b: jnp.where(
+                jnp.reshape(done, (1,) * f.ndim) if f.ndim else done, f, b
+            ),
+            fresh,
+            stepped,
+        )
+        return new, reward, term, trunc, u + done.astype(jnp.int32)
+
+    def body(carry, a):
+        st, used, tr, td, cs = carry
+        st, rew, term, trunc, used = jax.vmap(one)(st, a, seeds, used)
+        cs = cs + jax.vmap(checksum)(st).sum()
+        return (st, used, tr + rew.sum(), td + (term | trunc).sum(), cs), None
+
+    num_envs = states.step_count.shape[0]
+    init = (
+        states,
+        jnp.zeros((num_envs,), jnp.int32),
+        jnp.float32(0),
+        jnp.int32(0),
+        jnp.int32(0),
+    )
+    (st, used, tr, td, cs), _ = jax.lax.scan(body, init, actions)
+    return st, tr, td, cs, jnp.zeros((), jnp.int32)
 
 
 def run_equivalence(env_id, n=1024, t=24, r=2, seed=0, **kwargs):
@@ -70,15 +117,25 @@ def run_equivalence(env_id, n=1024, t=24, r=2, seed=0, **kwargs):
     key = jax.random.PRNGKey(seed)
     k1, k2, k3 = jax.random.split(key, 3)
     _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k1, n))
-    cache = env.batch_reset_cache(k2, n, r)
     actions = jax.random.randint(k3, (t, n), 0, env.num_actions, jnp.int32)
 
-    final, tr, td, cs = fused_rollout_core(
-        env, states, cache, actions, True, True  # interpret=True
-    )
-    st_ref, tr_r, td_r, cs_r = jax.jit(xla_reference, static_argnums=0)(
-        env, states, cache, actions
-    )
+    ext = getattr(env, "fused_ext", None)
+    if ext is not None and getattr(ext, "covers_reset", False):
+        seeds = jax.random.bits(k2, (n, 2), jnp.uint32).astype(jnp.int32)
+        final, tr, td, cs, max_used = fused_rollout_core(
+            env, states, None, actions, True, True, seeds  # interpret=True
+        )
+        st_ref, tr_r, td_r, cs_r, mu_r = jax.jit(
+            xla_reference_counter, static_argnums=0
+        )(env, states, seeds, actions)
+    else:
+        cache = env.batch_reset_cache(k2, n, r)
+        final, tr, td, cs, max_used = fused_rollout_core(
+            env, states, cache, actions, True, True  # interpret=True
+        )
+        st_ref, tr_r, td_r, cs_r, mu_r = jax.jit(xla_reference, static_argnums=0)(
+            env, states, cache, actions
+        )
 
     for name in STATE_FIELDS:
         a = np.asarray(getattr(final, name))
@@ -96,6 +153,7 @@ def run_equivalence(env_id, n=1024, t=24, r=2, seed=0, **kwargs):
             )
     assert int(td) == int(td_r), f"{env_id}: done count"
     assert int(cs) == int(cs_r), f"{env_id}: obs checksum"
+    assert int(max_used) == int(mu_r), f"{env_id}: max cache slots consumed"
     np.testing.assert_allclose(float(tr), float(tr_r), rtol=1e-5)
     return int(td_r)
 
@@ -138,7 +196,7 @@ def test_rollout_random_fused_flag_dispatch():
     assert not fused_eligible(env, 1024)  # cpu backend in tests
     key = jax.random.PRNGKey(0)
     _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(key, 64))
-    states, total_r, total_done = rollout_random(env, states, key, 8)
+    states, total_r, total_done, _ = rollout_random(env, states, key, 8)
     assert states.step_count.shape == (64,)
 
 
@@ -242,3 +300,18 @@ def test_fused_babyai_done_actions_mode(monkeypatch):
     # from last_match memory (verifier.py:225-237 semantics).
     monkeypatch.setenv("BABYAI_DONE_ACTIONS", "1")
     run_equivalence("BabyAI-GoToRedBallGrey-v0", t=12, seed=5)
+
+
+def test_fused_babyai_maze_22x22():
+    # 484-cell grid: the round-5 cap lift (fused_eligible VMEM gate replaced
+    # the 19x19 WH cap).  BabyAI maze levels (GoTo/Synth*/BossLevel,
+    # reference minigrid/envs/babyai/synth.py:12,388 and core/levelgen.py:33-55)
+    # run the full verifier ext in-kernel at this size.
+    run_equivalence("BabyAI-GoTo-v0", t=6, seed=2)
+
+
+def test_fused_multiroom_25x25():
+    # 625-cell grid (reference minigrid/envs/multiroom.py:112-279): the
+    # largest classic level; default hooks, expensive reset via the cache.
+    done = run_equivalence("MiniGrid-MultiRoom-N2-S4-v0", t=6, seed=4, max_steps=4)
+    assert done > 0

@@ -22,7 +22,7 @@ def test_fused_obs_matches_xla(env_id):
     n = 64
     key = jax.random.PRNGKey(0)
     _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(key, n))
-    states, _, _ = rollout_random(env, states, key, 25)
+    states, _, _, _ = rollout_random(env, states, key, 25)
 
     ref = np.asarray(
         jax.jit(jax.vmap(lambda s: gen_obs_image(s, 7, env.see_through_walls)))(states)

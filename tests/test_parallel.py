@@ -34,8 +34,8 @@ def test_sharded_rollout_matches_single_device():
     _, states_sh = sharded_reset(env, mesh, key, num_envs)
     states_local = jax.jit(jax.vmap(env.reset))(jax.random.split(key, num_envs))[1]
 
-    out_sh, r_sh, d_sh = sharded_rollout(env, mesh, states_sh, key, 40)
-    out_l, r_l, d_l = rollout_random(env, states_local, key, 40)
+    out_sh, r_sh, d_sh, _ = sharded_rollout(env, mesh, states_sh, key, 40)
+    out_l, r_l, d_l, _ = rollout_random(env, states_local, key, 40)
 
     np.testing.assert_array_equal(np.asarray(out_sh.grid), np.asarray(out_l.grid))
     np.testing.assert_array_equal(
@@ -50,7 +50,7 @@ def test_sharded_rollout_expensive_reset_family():
     mesh = make_mesh()
     key = jax.random.PRNGKey(1)
     _, states = sharded_reset(env, mesh, key, 16)
-    out, total_r, done = sharded_rollout(env, mesh, states, key, 30)
+    out, total_r, done, _ = sharded_rollout(env, mesh, states, key, 30)
     assert out.step_count.shape == (16,)
     assert int(done) >= 0
 

@@ -93,3 +93,49 @@ def test_trend_file_covers_registry():
         f"metrics without floors: {missing}; run profiler.py trend on the "
         f"TPU box and commit tools/perf_trend.json"
     )
+
+
+def test_kernel_under_shard_map_real_chip():
+    """The compiled (non-interpret) kernel inside ``shard_map`` on a
+    1-device TPU mesh, bit-exact vs the direct kernel call — the on-chip
+    half of the kernel-under-shard_map coverage (the interpret-mode
+    multi-shard half runs in the default lane,
+    tests/test_shard_map_rollout.py)."""
+    _require_tpu()
+    import numpy as np
+
+    import jax
+    from jax.sharding import Mesh
+
+    import minigrid_tpu as mg
+    from minigrid_tpu.ops.actor_rollout import fused_actor_rollout
+    from minigrid_tpu.rl.model import ActorCritic
+    from minigrid_tpu.rl.rollout import collect_trajectory
+
+    env = mg.make("BabyAI-GoToLocal-v0")
+    mesh = Mesh(jax.devices()[:1], axis_names=("data",))
+    n, t, resets = 1024, 8, 2
+    v = env.agent_view_size
+    model = ActorCritic(hidden=32, num_actions=env.num_actions)
+    key = jax.random.PRNGKey(2)
+    k1, k2, k3 = jax.random.split(key, 3)
+    _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k1, n))
+    obs0 = jax.vmap(lambda s: env.observation_packed(s).reshape(v * v))(states)
+    params = model.init(k2, obs0[:1], states.agent_dir[:1], packed=True)
+
+    def policy_apply(p, obs, direction):
+        return model.apply(p, obs, direction, packed=True)
+
+    final, _, traj = collect_trajectory(
+        env, policy_apply, params, states, k3, t, resets,
+        fused_actor=True, mesh=mesh,
+    )
+    _, k_use = jax.random.split(k3)
+    fin_d, traj_d = fused_actor_rollout(
+        env, params, states, jax.random.fold_in(k_use, 0), t, resets
+    )
+    np.testing.assert_array_equal(np.asarray(final.grid), np.asarray(fin_d.grid))
+    for f in ["obs", "action", "logp", "value", "reward", "done"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(traj, f)), np.asarray(traj_d[f]), err_msg=f
+        )

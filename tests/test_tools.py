@@ -185,3 +185,64 @@ def test_train_state_checkpoint_resume_bitexact(tmp_path):
         assert np.array_equal(np.asarray(m_cont[k]), np.asarray(m_res[k])), k
     for a, b in zip(jax.tree.leaves(cont.params), jax.tree.leaves(res.params)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_bench_keys_all_floored():
+    """Structural guard (VERDICT r4 weak #2): every numeric key the driver
+    bench emits must map to a floored trend-registry metric — a metric can
+    be driver-visible yet unwatched only by failing this test.  Checked
+    against the newest committed BENCH_r*.json artifact plus bench.py's own
+    TRACKED table (so the guard covers keys the CURRENT bench will emit,
+    not just last round's)."""
+    import glob
+    import json
+    import os
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(root, "tools"))
+    sys.path.insert(0, root)
+    from profiler import (
+        BENCH_INFORMATIONAL_KEYS,
+        BENCH_KEY_TO_TREND,
+        TREND_METRICS,
+    )
+
+    floored = set(TREND_METRICS) | {
+        "ppo_sps_single_dispatch",
+        "ppo_sps_marginal",
+        "ppo_sps_pipelined",
+    }
+    # Every mapping target must actually be floored.
+    unfloored = {
+        k: v for k, v in BENCH_KEY_TO_TREND.items() if v not in floored
+    }
+    assert not unfloored, f"bench keys mapped to unfloored metrics: {unfloored}"
+
+    def check_keys(keys, source):
+        for k in keys:
+            if k in BENCH_INFORMATIONAL_KEYS or k in BENCH_KEY_TO_TREND:
+                continue
+            # *_blocking keys are methodology-continuity twins of a floored
+            # marginal metric — informational by construction.
+            if k.endswith("_blocking") and k[: -len("_blocking")] in BENCH_KEY_TO_TREND:
+                continue
+            raise AssertionError(
+                f"bench key {k!r} ({source}) is neither mapped to a floored "
+                f"trend metric (profiler.BENCH_KEY_TO_TREND) nor declared "
+                f"informational"
+            )
+
+    # The keys the current bench.py will emit for its tracked configs.
+    import bench
+
+    check_keys([k for k, _, _ in bench.TRACKED], "bench.TRACKED")
+
+    # The keys the driver actually recorded last round.
+    artifacts = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    if artifacts:
+        with open(artifacts[-1]) as f:
+            recorded = json.load(f)
+        # The driver wraps the bench line: the metric dict is under "parsed".
+        recorded = recorded.get("parsed", recorded) or {}
+        check_keys(recorded.keys(), os.path.basename(artifacts[-1]))

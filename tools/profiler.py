@@ -101,13 +101,17 @@ def _bench_chain(step, carry, lengths=(4, 8), reps: int = 3):
 
 def rollout_sps(env_id: str, num_envs: int, num_steps: int, fused: bool | str = "auto"):
     """Raw random-policy rollout steps/s (the bench.py headline shape),
-    measured as the scanned marginal (see ``_bench_chain``)."""
+    measured as the scanned marginal (see ``_bench_chain``).  The reset cache
+    is sized from the measured episode-rate table and the published number is
+    certified replay-free (parallel/reset_budget)."""
     import jax
 
     import minigrid_tpu as mg
+    from minigrid_tpu.parallel.reset_budget import assert_chain_covered, resets_for
     from minigrid_tpu.parallel.vector import rollout_random
 
     env = mg.make(env_id)
+    resets = resets_for(env, num_steps, env_id)
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
     _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k1, num_envs))
@@ -115,10 +119,11 @@ def rollout_sps(env_id: str, num_envs: int, num_steps: int, fused: bool | str = 
     def step(c):
         st, kk = c
         kk, kr = jax.random.split(kk)
-        st, total_r, dones = rollout_random(env, st, kr, num_steps, 2, fused)
-        return (st, kk), (total_r, dones)
+        st, total_r, dones, mu = rollout_random(env, st, kr, num_steps, resets, fused)
+        return (st, kk), (total_r, dones, mu)
 
     t = _bench_chain(step, (states, k2))
+    assert_chain_covered(step, (states, k2), resets, env)
     return num_envs * num_steps / t
 
 
@@ -139,14 +144,23 @@ def obs_sps(env_id: str, num_envs: int, num_steps: int, fused: bool = True):
     _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k1, num_envs))
     if fused and fused_eligible(env, num_envs):
         from minigrid_tpu.ops.fused_rollout import fused_rollout
+        from minigrid_tpu.parallel.reset_budget import (
+            assert_chain_covered,
+            resets_for,
+        )
+
+        resets = resets_for(env, num_steps, env_id)
 
         def fstep(c):
             st, kk = c
             kk, kr = jax.random.split(kk)
-            st, total_r, dones, chk = fused_rollout(env, st, kr, num_steps, 2, True)
-            return (st, kk), (total_r, chk)
+            st, total_r, dones, chk, mu = fused_rollout(
+                env, st, kr, num_steps, resets, True
+            )
+            return (st, kk), (total_r, chk, mu)
 
         t = _bench_chain(fstep, (states, k2))
+        assert_chain_covered(fstep, (states, k2), resets, env)
         return num_envs * num_steps / t
 
     obs_batch = jax.vmap(env.observation)
@@ -218,6 +232,36 @@ def ppo_times(num_envs: int = 8192, rollout_steps: int = 128):
     t4 = _bench(multi(4), state, reps=3)
     t8 = _bench(multi(8), state, reps=3)
     return t1, (t8 - t4) / 4, best_pipe
+
+
+def impala_times(num_envs: int = 8192, rollout_steps: int = 128):
+    """Marginal seconds per IMPALA train step (rollout + V-trace + update) at
+    the north-star config, scanned differencing — the learner-surface twin of
+    ``ppo_times`` (bench.py tracks it as impala_env_steps_per_sec)."""
+    import jax
+
+    import minigrid_tpu as mg
+    from minigrid_tpu.rl.impala import IMPALAConfig, make_impala
+
+    env = mg.make("MiniGrid-Empty-8x8-v0")
+    init_fn, train_step = make_impala(env, IMPALAConfig(rollout_steps=rollout_steps))
+    state = init_fn(jax.random.PRNGKey(13), num_envs)
+
+    def multi(k):
+        @jax.jit
+        def run(s):
+            def body(ss, _):
+                ss, m = train_step(ss)
+                return ss, m["pg_loss"]
+
+            ss, losses = jax.lax.scan(body, s, None, length=k)
+            return losses.sum()
+
+        return run
+
+    t4 = _bench(multi(4), state, reps=3)
+    t8 = _bench(multi(8), state, reps=3)
+    return (t8 - t4) / 4
 
 
 def ppo_breakdown(num_envs: int = 8192, rollout_steps: int = 128):
@@ -316,12 +360,15 @@ def actor_collect_sps(env_id: str, num_envs: int, num_steps: int):
     exercise the full fused_ext machinery (verifier planes + scalars +
     44-wide missions) inside the kernel."""
     import jax
+    import jax.numpy as jnp
 
     import minigrid_tpu as mg
     from minigrid_tpu.ops.actor_rollout import fused_actor_rollout
+    from minigrid_tpu.parallel.reset_budget import assert_chain_covered, resets_for
     from minigrid_tpu.rl.model import ActorCritic
 
     env = mg.make(env_id)
+    resets = resets_for(env, num_steps, env_id)
     v = env.agent_view_size
     model = ActorCritic(hidden=256, num_actions=env.num_actions)
     key = jax.random.PRNGKey(0)
@@ -333,14 +380,17 @@ def actor_collect_sps(env_id: str, num_envs: int, num_steps: int):
     def step(c):
         st, kk = c
         kk, kr = jax.random.split(kk)
-        st, traj = fused_actor_rollout(env, params, st, kr, num_steps, 2)
-        return (st, kk), (traj["reward"], traj["logp"])
+        st, traj = fused_actor_rollout(env, params, st, kr, num_steps, resets)
+        # Episodes per env == cache slots consumed (used increments per done).
+        mu = traj["done"].astype(jnp.int32).sum(axis=0).max()
+        return (st, kk), (traj["reward"], traj["logp"], mu)
 
     t = _bench_chain(step, (states, k3))
+    assert_chain_covered(step, (states, k3), resets, env)
     return num_envs * num_steps / t
 
 
-def babyai_ablate(env_id: str, num_envs: int, num_steps: int, resets: int = 2):
+def babyai_ablate(env_id: str, num_envs: int, num_steps: int, resets: int | None = None):
     """Decompose an expensive-reset family's rollout cost (VERDICT r3 weak #6):
     how much of the measured steps/s goes to reset-cache generation (runs once
     per fused_rollout call: N*R level draws) vs the kernel itself (T in-VMEM
@@ -350,8 +400,11 @@ def babyai_ablate(env_id: str, num_envs: int, num_steps: int, resets: int = 2):
 
     import minigrid_tpu as mg
     from minigrid_tpu.ops.fused_rollout import fused_rollout, fused_rollout_core
+    from minigrid_tpu.parallel.reset_budget import resets_for
 
     env = mg.make(env_id)
+    if resets is None:
+        resets = resets_for(env, num_steps, env_id)
     key = jax.random.PRNGKey(0)
     k1, k2, k3 = jax.random.split(key, 3)
     _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k1, num_envs))
@@ -377,7 +430,7 @@ def babyai_ablate(env_id: str, num_envs: int, num_steps: int, resets: int = 2):
 
     def kstep(c):
         st, kk = c
-        st, total_r, dones, chk = fused_rollout_core(env, st, cache, actions, False)
+        st, total_r, dones, chk, _mu = fused_rollout_core(env, st, cache, actions, False)
         return (st, kk), (total_r, dones)
 
     t_kernel = _bench_chain(kstep, (states, k3))
@@ -385,7 +438,7 @@ def babyai_ablate(env_id: str, num_envs: int, num_steps: int, resets: int = 2):
     def fstep(c):
         st, kk = c
         kk, kr = jax.random.split(kk)
-        st, total_r, dones, chk = fused_rollout(env, st, kr, num_steps, resets, False)
+        st, total_r, dones, chk, _mu = fused_rollout(env, st, kr, num_steps, resets, False)
         return (st, kk), (total_r, dones)
 
     t_full = _bench_chain(fstep, (states, k3))
@@ -488,12 +541,63 @@ TREND_METRICS = {
         "MiniGrid-ObstructedMaze-2Dlh-v0", 8192, _T
     ),
     "wfc_mazesimple_levels_per_sec": lambda: wfc_levels_per_sec(),
-    # The PPO/IMPALA collection phase through the fused actor kernel on a
-    # fused_ext family (verifier in-kernel) — guards the round-4 ext-hook
-    # extension of ops/actor_rollout.py against regression.
+    # The PPO/IMPALA collection phase through the fused actor kernel — the
+    # policy-in-loop number a real user gets.  GoToLocal guards the round-4
+    # ext-hook extension (verifier in-kernel); Empty-8x8 guards the
+    # default-hook fast path; 2Dlh guards the big-grid + ext path.
     "actor_collect_gotolocal_sps": lambda: actor_collect_sps(
         "BabyAI-GoToLocal-v0", 8192, 128
     ),
+    "actor_collect_empty8x8_sps": lambda: actor_collect_sps(
+        "MiniGrid-Empty-8x8-v0", 8192, 128
+    ),
+    "actor_collect_2dlh_sps": lambda: actor_collect_sps(
+        "MiniGrid-ObstructedMaze-2Dlh-v0", 8192, 128
+    ),
+    # End-to-end IMPALA train rate (closes VERDICT r4 weak #2: bench-visible
+    # but unfloored).
+    "impala_sps_marginal": lambda: 8192 * 128 / impala_times(),
+}
+
+# bench.py numeric key -> the floored registry metric guarding it.  The
+# structural test tests/test_tools.py::test_bench_keys_all_floored asserts
+# every key bench.py emits appears here (or in BENCH_INFORMATIONAL_KEYS), so
+# a driver-visible metric can never again be unwatched (VERDICT r4 weak #2).
+BENCH_KEY_TO_TREND = {
+    "value": "empty8x8_rollout_sps",
+    "obs_consumed_steps_per_sec": "obs_consumed_sps",
+    "obs_consumed_xla_steps_per_sec": "obs_consumed_xla_sps",
+    "empty5x5_steps_per_sec": "empty5x5_rollout_sps",
+    "empty_random5x5_steps_per_sec": "empty_random5x5_rollout_sps",
+    "fourrooms_steps_per_sec": "fourrooms_rollout_sps",
+    "doorkey8x8_steps_per_sec": "doorkey8x8_rollout_sps",
+    "lavacrossing_s9n2_steps_per_sec": "lavacrossing_s9n2_rollout_sps",
+    "dynamic_obstacles8x8_steps_per_sec": "dynamic_obstacles8x8_rollout_sps",
+    "babyai_gotolocal_steps_per_sec": "babyai_gotolocal_rollout_sps",
+    "obstructed_maze_2dlh_steps_per_sec": "obstructed_maze_2dlh_rollout_sps",
+    "ppo_env_steps_per_sec": "ppo_sps_marginal",
+    "ppo_env_steps_per_sec_single_dispatch": "ppo_sps_single_dispatch",
+    "ppo_env_steps_per_sec_pipelined": "ppo_sps_pipelined",
+    "impala_env_steps_per_sec": "impala_sps_marginal",
+    "wfc_mazesimple_levels_per_sec": "wfc_mazesimple_levels_per_sec",
+}
+
+# bench.py keys that are context, not floored throughput series: the
+# blocking-methodology continuity columns (each is the *_blocking twin of a
+# floored marginal metric), reset-budget/collective accounting, and the
+# modeled scaling quotient (guarded structurally by test_scaling_harness).
+BENCH_INFORMATIONAL_KEYS = {
+    "metric",
+    "unit",
+    "vs_baseline",
+    "measurement",
+    "value_single_dispatch_blocking",
+    "vs_baseline_blocking",
+    "reset_budget",
+    "scaling_efficiency",
+    "scaling_collective_bytes",
+    "scaling_unexpected_collectives",
+    "scaling_collective_accounting",
 }
 
 
