@@ -18,30 +18,34 @@ import re
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(ROOT, "docs", "content", "performance.md")
 
-# (bench key, label, scale) — display order.  Scale "M" renders millions.
+# Rounds whose primary per-env numbers were measured BLOCKING (single
+# dispatch, tunnel RTT included); round 4+ primary numbers are the scanned
+# marginal.  Each per-env metric renders as TWO rows so the two
+# methodologies never share a column series (advisor r4 finding): the
+# marginal row is blank before r4, and the blocking row sources r4+ values
+# from the ``*_blocking`` twin bench.py emits per tracked metric.
+MARGINAL_SINCE = 4
+
+# (bench key, label, scale, split) — display order.  Scale "M" renders
+# millions; split=True renders the marginal/blocking row pair.
 METRICS = [
-    ("value", "Empty-8x8 raw rollout (headline)", "M"),
-    (
-        "value_single_dispatch_blocking",
-        "Empty-8x8 raw rollout (blocking single dispatch, r1-r3 methodology)",
-        "M",
-    ),
-    ("obs_consumed_steps_per_sec", "Obs-consumed rollout (fused kernel)", "M"),
-    ("obs_consumed_xla_steps_per_sec", "Obs-consumed rollout (XLA fallback)", "M"),
-    ("empty5x5_steps_per_sec", "Empty-5x5", "M"),
-    ("empty_random5x5_steps_per_sec", "Empty-Random-5x5", "M"),
-    ("doorkey8x8_steps_per_sec", "DoorKey-8x8", "M"),
-    ("fourrooms_steps_per_sec", "FourRooms", "M"),
-    ("lavacrossing_s9n2_steps_per_sec", "LavaCrossingS9N2", "M"),
-    ("dynamic_obstacles8x8_steps_per_sec", "Dynamic-Obstacles-8x8", "M"),
-    ("babyai_gotolocal_steps_per_sec", "BabyAI-GoToLocal", "M"),
-    ("obstructed_maze_2dlh_steps_per_sec", "ObstructedMaze-2Dlh", "M"),
-    ("ppo_env_steps_per_sec", "PPO end-to-end (marginal)", "M"),
-    ("ppo_env_steps_per_sec_single_dispatch", "PPO (single dispatch)", "M"),
-    ("ppo_env_steps_per_sec_pipelined", "PPO (pipelined async dispatch)", "M"),
-    ("impala_env_steps_per_sec", "IMPALA end-to-end (marginal)", "M"),
-    ("wfc_mazesimple_levels_per_sec", "WFC MazeSimple levels/s", ""),
-    ("scaling_efficiency", "Modeled 8-device scaling efficiency", ""),
+    ("value", "Empty-8x8 raw rollout (headline)", "M", True),
+    ("obs_consumed_steps_per_sec", "Obs-consumed rollout (fused kernel)", "M", True),
+    ("obs_consumed_xla_steps_per_sec", "Obs-consumed rollout (XLA fallback)", "M", True),
+    ("empty5x5_steps_per_sec", "Empty-5x5", "M", True),
+    ("empty_random5x5_steps_per_sec", "Empty-Random-5x5", "M", True),
+    ("doorkey8x8_steps_per_sec", "DoorKey-8x8", "M", True),
+    ("fourrooms_steps_per_sec", "FourRooms", "M", True),
+    ("lavacrossing_s9n2_steps_per_sec", "LavaCrossingS9N2", "M", True),
+    ("dynamic_obstacles8x8_steps_per_sec", "Dynamic-Obstacles-8x8", "M", True),
+    ("babyai_gotolocal_steps_per_sec", "BabyAI-GoToLocal", "M", True),
+    ("obstructed_maze_2dlh_steps_per_sec", "ObstructedMaze-2Dlh", "M", True),
+    ("ppo_env_steps_per_sec", "PPO end-to-end (marginal)", "M", False),
+    ("ppo_env_steps_per_sec_single_dispatch", "PPO (single dispatch)", "M", False),
+    ("ppo_env_steps_per_sec_pipelined", "PPO (pipelined async dispatch)", "M", False),
+    ("impala_env_steps_per_sec", "IMPALA end-to-end (marginal)", "M", False),
+    ("wfc_mazesimple_levels_per_sec", "WFC MazeSimple levels/s", "", False),
+    ("scaling_efficiency", "Modeled 8-device scaling efficiency", "", False),
 ]
 
 
@@ -88,15 +92,37 @@ def main():
         "dispatches, which for sub-100 ms workloads mostly measured the",
         "axon tunnel's fixed ~24 ms dispatch+fetch round trip; the learner",
         "metrics (PPO/IMPALA) have used scanned differencing since round 3,",
-        "so their columns are comparable across all rounds.  The blocking",
-        "headline is retained as its own row for continuity.",
+        "so their columns are comparable across all rounds.  Per-env metrics",
+        "render as a (marginal, r4+) / (blocking) row PAIR so the two",
+        "methodologies never share one series; from round 5 every number is",
+        "additionally certified replay-free against its reset-cache budget",
+        "(`parallel/reset_budget.py` — the `reset_budget` key in the bench",
+        "line records the R each config ran at).",
         "",
         "| Metric | " + " | ".join(f"r{n}" for n in ns) + " |",
         "|---|" + "---|" * len(ns),
     ]
-    for key, label, scale in METRICS:
-        row = [fmt(rounds[n].get(key), scale) for n in ns]
-        lines.append(f"| {label} | " + " | ".join(row) + " |")
+    def blocking_value(data, key, n):
+        if key == "value":
+            bkey = "value_single_dispatch_blocking"
+        else:
+            bkey = key + "_blocking"
+        if n < MARGINAL_SINCE:
+            return data.get(key)  # the primary number WAS blocking then
+        return data.get(bkey)
+
+    for key, label, scale, split in METRICS:
+        if not split:
+            row = [fmt(rounds[n].get(key), scale) for n in ns]
+            lines.append(f"| {label} | " + " | ".join(row) + " |")
+            continue
+        marg = [
+            fmt(rounds[n].get(key) if n >= MARGINAL_SINCE else None, scale)
+            for n in ns
+        ]
+        blok = [fmt(blocking_value(rounds[n], key, n), scale) for n in ns]
+        lines.append(f"| {label} (marginal, r4+) | " + " | ".join(marg) + " |")
+        lines.append(f"| {label} (blocking) | " + " | ".join(blok) + " |")
     lines += [
         "",
         "The north-star target (BASELINE.md) is ≥50M env-steps/s per host on",
