@@ -57,6 +57,9 @@ TRACKED = (
     ("dynamic_obstacles8x8_steps_per_sec", "MiniGrid-Dynamic-Obstacles-8x8-v0", 65536),
     ("babyai_gotolocal_steps_per_sec", "BabyAI-GoToLocal-v0", 16384),
     ("obstructed_maze_2dlh_steps_per_sec", "MiniGrid-ObstructedMaze-2Dlh-v0", 8192),
+    # 22x22 BabyAI maze (484 cells): the round-5 fused-kernel cap lift —
+    # the hardest levels in the suite get a tracked perf story.
+    ("babyai_goto_steps_per_sec", "BabyAI-GoTo-v0", 16384),
 )
 
 

@@ -18,6 +18,8 @@ from minigrid_tpu.core.constants import EMPTY_CELL, GOAL_CELL, LAVA_CELL, WALL_C
 from minigrid_tpu.core.env import MiniGridEnv
 from minigrid_tpu.core.mission import mission_vec, register_mission
 from minigrid_tpu.core.state import EnvState, new_state
+from minigrid_tpu.ops import fused_ext as fx
+from minigrid_tpu.ops.prng import uniform_index
 
 _MISSION_LAVA = register_mission("avoid the lava and get to the green goal square")
 _MISSION_WALL = register_mission("find the opening and get to the green goal square")
@@ -147,7 +149,148 @@ class CrossingEnv(MiniGridEnv):
         return "find the opening and get to the green goal square"
 
 
+class _CrossingResetExt(fx.FusedExt):
+    """Counter-reset twin of the Crossing generator (covers_reset): the
+    fused kernels regenerate a fresh maze on every episode end — river
+    selection (ordered sample without replacement from the candidate set),
+    the kc river strips, the shuffled room path and one opening per crossed
+    river — from the counter stream, with identical level distribution to
+    ``_generate`` (reference minigrid/envs/crossing.py:134-178; enforced by
+    tests/test_counter_reset.py).  Identity step hooks (Crossing has
+    default-hook dynamics)."""
+
+    covers_reset = True
+
+    @staticmethod
+    def _pick(scalars, index, zero):
+        """scalars[index] per env, unrolled selects (no gathers in-kernel)."""
+        out = zero
+        for i, v in enumerate(scalars):
+            out = jnp.where(index == i, v, out)
+        return out
+
+    def reset_block(self, env, W, H, seed0, seed1, ep_idx):
+        S = jnp.asarray(seed0).shape
+        WH = W * H
+        kc = env.num_crossings
+        obstacle = int(LAVA_CELL if env.obstacle_type == "lava" else WALL_CELL)
+        e0, e1 = fx.episode_seed(seed0, seed1, ep_idx)
+        n_words = 3 * kc
+        words = []
+        for j in range((n_words + 1) // 2):
+            words.extend(fx.place_draw(e0, e1, j))
+        sel_bits = words[:kc]
+        path_bits = words[kc : 2 * kc]
+        open_bits = words[2 * kc : 3 * kc]
+
+        zero = jnp.zeros(S, jnp.int32)
+        big = jnp.int32(10**6)
+        v_cand = list(range(2, H - 2, 2))
+        h_cand = list(range(2, W - 2, 2))
+        cand = v_cand + h_cand
+        C = len(cand)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (C,) + tuple(S), 0)
+
+        # Ordered sample of kc distinct candidates == the first kc entries of
+        # a uniform permutation (reference :144-145's perm[:kc]).
+        chosen = jnp.zeros((C,) + tuple(S), bool)
+        pos_t, isv_t = [], []
+        for t in range(kc):
+            r = uniform_index(sel_bits[t], jnp.full(S, C - t, jnp.int32))
+            j = fx.nth_true_index(~chosen, r, zero)
+            chosen = chosen | (iota_c == j[None])
+            pos_t.append(self._pick([jnp.int32(c) for c in cand], j, zero))
+            isv_t.append(j < len(v_cand))
+
+        # Sorted per-type positions with +big sentinels (reference :146-147).
+        def sort_vals(vals):
+            vals = list(vals)
+            for a in range(len(vals)):
+                for b in range(len(vals) - 1 - a):
+                    lo = jnp.minimum(vals[b], vals[b + 1])
+                    hi = jnp.maximum(vals[b], vals[b + 1])
+                    vals[b], vals[b + 1] = lo, hi
+            return vals
+
+        rv = sort_vals(jnp.where(isv_t[t], pos_t[t], big) for t in range(kc))
+        rh = sort_vals(jnp.where(isv_t[t], big, pos_t[t]) for t in range(kc))
+        n_v = zero
+        for t in range(kc):
+            n_v = n_v + isv_t[t].astype(jnp.int32)
+
+        # Base grid + rivers (reference :148-153).
+        g_plane = fx.walled_plane(W, H, S, [(W - 2, H - 2, GOAL_CELL)])
+        idx = jax.lax.broadcasted_iota(jnp.int32, (WH,) + tuple(S), 0)
+        xs, ys = idx // H, idx % H
+        for t in range(kc):
+            p = pos_t[t][None]
+            vmask = (xs == p) & (ys >= 1) & (ys <= H - 2)
+            hmask = (ys == p) & (xs >= 1) & (xs <= W - 2)
+            m = jnp.where(isv_t[t][None], vmask, hmask)
+            g_plane = jnp.where(m, jnp.int32(obstacle), g_plane)
+
+        # Room-limit tables [0] + rivers + [edge] (reference :160-161).
+        def limits(rs, n, edge):
+            out = [zero]
+            for i in range(1, kc + 1):
+                out.append(jnp.where(i <= n, rs[i - 1], jnp.int32(edge)))
+            out.append(zero + jnp.int32(edge))
+            return out
+
+        lv = limits(rv, n_v, H - 1)
+        lh = limits(rh, kc - n_v, W - 1)  # n_h = kc - n_v
+
+        # Shuffled path: n_v horizontal moves among kc (reference :156-157) —
+        # sequential multiset-permutation draws.
+        remaining_h = n_v
+        room_i, room_j = zero, zero
+        for t in range(kc):
+            r = uniform_index(path_bits[t], jnp.full(S, kc - t, jnp.int32))
+            hmove = r < remaining_h
+            remaining_h = remaining_h - hmove.astype(jnp.int32)
+            x_h = self._pick(lv, room_i + 1, zero)
+            lo_h = self._pick(lh, room_j, zero) + 1
+            hi_h = self._pick(lh, room_j + 1, zero)
+            y_h = lo_h + uniform_index(
+                open_bits[t], jnp.maximum(hi_h - lo_h, 1)
+            )
+            lo_v = self._pick(lv, room_i, zero) + 1
+            hi_v = self._pick(lv, room_i + 1, zero)
+            x_v = lo_v + uniform_index(
+                open_bits[t], jnp.maximum(hi_v - lo_v, 1)
+            )
+            y_v = self._pick(lh, room_j + 1, zero)
+            x = jnp.where(hmove, x_h, x_v)
+            y = jnp.where(hmove, y_h, y_v)
+            g_plane = jnp.where(
+                idx == (x * H + y)[None], jnp.int32(int(EMPTY_CELL)), g_plane
+            )
+            room_i = room_i + hmove.astype(jnp.int32)
+            room_j = room_j + (~hmove).astype(jnp.int32)
+
+        sc = {
+            fx.ROW_AX: zero + 1,
+            fx.ROW_AY: zero + 1,
+            fx.ROW_DIR: zero,
+            fx.ROW_CARRY: zero,
+            fx.ROW_STEP: zero,
+            fx.ROW_MAX: zero + jnp.int32(env.max_steps),
+            fx.ROW_TERM: zero,
+            fx.ROW_TRUNC: zero,
+        }
+        c = jnp.zeros((WH,) + tuple(S), jnp.int32)
+        mis = fx.scalar_rows(
+            _MISSION_VEC_LAVA if env.obstacle_type == "lava" else _MISSION_VEC_WALL,
+            S,
+        )
+        return g_plane, c, sc, mis, (), ()
+
+
+_MISSION_VEC_LAVA = np.asarray(mission_vec(_MISSION_LAVA))
+_MISSION_VEC_WALL = np.asarray(mission_vec(_MISSION_WALL))
+
 # Kernel specialization (core/env.py flags): Crossing grids hold only
 # wall/lava/goal cells and the mission depends only on the obstacle type.
 CrossingEnv.fused_no_objects = True
 CrossingEnv.fused_static_mission = True
+CrossingEnv.fused_ext = _CrossingResetExt()

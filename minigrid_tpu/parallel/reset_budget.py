@@ -30,18 +30,22 @@ from __future__ import annotations
 import math
 
 # Measured maximum episodes finished by ANY env in one 256-step chunk under
-# a uniform-random policy, chained steady state (tools/measure_reset_budget.py
-# on the TPU v5e at the bench config's env count; see BENCH notes).  Keys are
-# registry ids; values are the observed p100 across >= 8 chained chunks.
+# a uniform-random policy with TRUE fresh-per-reset semantics, chained
+# steady state — tools/measure_reset_budget.py on the TPU v5e, 8 chained
+# chunks at the bench config's env count (round 5; per-chunk maxima and
+# p99.9 in that run's output).  Keys are registry ids; values the observed
+# p100.  Families whose fused kernels regenerate in-kernel
+# (ext.covers_reset: Dynamic-Obstacles, Empty-Random) keep entries for the
+# XLA cached fallback path only.
 MEASURED_MAX_EPISODES_256: dict[str, int] = {
-    # measured round 5 (tools/measure_reset_budget.py, 8 chained chunks):
-    "MiniGrid-Empty-Random-5x5-v0": 18,  # 65536 envs
-    "MiniGrid-FourRooms-v0": 4,  # 65536 envs
-    "MiniGrid-DoorKey-8x8-v0": 3,  # 65536 envs
-    "MiniGrid-LavaCrossingS9N2-v0": 17,  # 65536 envs
-    "MiniGrid-Dynamic-Obstacles-8x8-v0": 39,  # 65536 envs
-    "BabyAI-GoToLocal-v0": 7,  # 16384 envs (truncates every 64 steps)
-    "MiniGrid-ObstructedMaze-2Dlh-v0": 2,  # 8192 envs
+    "MiniGrid-Empty-Random-5x5-v0": 12,  # 65536 envs; mean 3.58, p999 8
+    "MiniGrid-FourRooms-v0": 5,  # 65536 envs; mean 2.55 (max_steps=100)
+    "MiniGrid-DoorKey-8x8-v0": 2,  # 65536 envs; mean 0.38 (max_steps=640)
+    "MiniGrid-LavaCrossingS9N2-v0": 18,  # 65536 envs; mean 3.68, p999 12
+    "MiniGrid-Dynamic-Obstacles-8x8-v0": 37,  # 65536 envs; mean 14.28
+    "BabyAI-GoToLocal-v0": 11,  # 16384 envs; mean 4.67 (truncates at 64)
+    "MiniGrid-ObstructedMaze-2Dlh-v0": 2,  # 8192 envs; mean 0.38
+    "BabyAI-GoTo-v0": 2,  # 16384 envs; mean 0.39 (max_steps=576)
 }
 
 # Conservative fallback for ids without a measured entry: assume an episode

@@ -132,3 +132,32 @@ def test_covers_reset_families_declare_it(env_id):
     env = mg.make(env_id)
     assert getattr(env.fused_ext, "covers_reset", False)
     assert not env.deterministic_generation
+
+
+def test_crossing_distribution():
+    """The in-kernel Crossing generator (river selection, path shuffle,
+    openings) matches _generate's level distribution: identical support and
+    close per-cell obstacle/opening frequencies."""
+    env = mg.make("MiniGrid-LavaCrossingS9N2-v0")
+    n = 4096
+    a = _counter_states(env, n)
+    b = _generate_states(env, n)
+    from minigrid_tpu.core.constants import LAVA_CELL
+
+    lava = int(LAVA_CELL)
+    occ_a = (np.asarray(a.grid) == lava).astype(float)
+    occ_b = (np.asarray(b.grid) == lava).astype(float)
+    # Same per-level lava budget distribution (rivers minus openings).
+    tot_a = occ_a.sum(axis=(1, 2))
+    tot_b = occ_b.sum(axis=(1, 2))
+    assert set(np.unique(tot_a)) == set(np.unique(tot_b))
+    np.testing.assert_allclose(tot_a.mean(), tot_b.mean(), rtol=0.03)
+    # Per-cell river-occupancy frequencies.
+    _assert_close_freq(
+        occ_a.sum(axis=0).reshape(-1), occ_b.sum(axis=0).reshape(-1), n
+    )
+    # Levels must stay solvable: start and goal cells are intact.
+    for st in (a, b):
+        grids = np.asarray(st.grid)
+        assert (grids[:, 1, 1] != lava).all()
+        assert ((grids[:, 7, 7] & 0xFF) == 8).all()  # OBJ_GOAL

@@ -40,6 +40,7 @@ METRICS = [
     ("dynamic_obstacles8x8_steps_per_sec", "Dynamic-Obstacles-8x8", "M", True),
     ("babyai_gotolocal_steps_per_sec", "BabyAI-GoToLocal", "M", True),
     ("obstructed_maze_2dlh_steps_per_sec", "ObstructedMaze-2Dlh", "M", True),
+    ("babyai_goto_steps_per_sec", "BabyAI-GoTo (22x22 maze)", "M", True),
     ("ppo_env_steps_per_sec", "PPO end-to-end (marginal)", "M", False),
     ("ppo_env_steps_per_sec_single_dispatch", "PPO (single dispatch)", "M", False),
     ("ppo_env_steps_per_sec_pipelined", "PPO (pipelined async dispatch)", "M", False),

@@ -36,6 +36,7 @@ CONFIGS = (
     ("MiniGrid-Dynamic-Obstacles-8x8-v0", 65536),
     ("BabyAI-GoToLocal-v0", 16384),
     ("MiniGrid-ObstructedMaze-2Dlh-v0", 8192),
+    ("BabyAI-GoTo-v0", 16384),
 )
 
 

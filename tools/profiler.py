@@ -540,6 +540,8 @@ TREND_METRICS = {
     "obstructed_maze_2dlh_rollout_sps": lambda: rollout_sps(
         "MiniGrid-ObstructedMaze-2Dlh-v0", 8192, _T
     ),
+    # 22x22 BabyAI maze — the round-5 cap lift's tracked floor.
+    "babyai_goto_rollout_sps": lambda: rollout_sps("BabyAI-GoTo-v0", 16384, _T),
     "wfc_mazesimple_levels_per_sec": lambda: wfc_levels_per_sec(),
     # The PPO/IMPALA collection phase through the fused actor kernel — the
     # policy-in-loop number a real user gets.  GoToLocal guards the round-4
@@ -575,6 +577,7 @@ BENCH_KEY_TO_TREND = {
     "dynamic_obstacles8x8_steps_per_sec": "dynamic_obstacles8x8_rollout_sps",
     "babyai_gotolocal_steps_per_sec": "babyai_gotolocal_rollout_sps",
     "obstructed_maze_2dlh_steps_per_sec": "obstructed_maze_2dlh_rollout_sps",
+    "babyai_goto_steps_per_sec": "babyai_goto_rollout_sps",
     "ppo_env_steps_per_sec": "ppo_sps_marginal",
     "ppo_env_steps_per_sec_single_dispatch": "ppo_sps_single_dispatch",
     "ppo_env_steps_per_sec_pipelined": "ppo_sps_pipelined",
