@@ -224,9 +224,13 @@ class _CrossingResetExt(fx.FusedExt):
         xs, ys = idx // H, idx % H
         for t in range(kc):
             p = pos_t[t][None]
+            isv = isv_t[t][None]
             vmask = (xs == p) & (ys >= 1) & (ys <= H - 2)
             hmask = (ys == p) & (xs >= 1) & (xs <= W - 2)
-            m = jnp.where(isv_t[t][None], vmask, hmask)
+            # Logical blend, not a bool-valued select: Mosaic rejects
+            # select ops with i1 results ("unsupported target bitwidth for
+            # truncation") on the real chip.
+            m = (isv & vmask) | (~isv & hmask)
             g_plane = jnp.where(m, jnp.int32(obstacle), g_plane)
 
         # Room-limit tables [0] + rivers + [edge] (reference :160-161).

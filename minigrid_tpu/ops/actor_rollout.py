@@ -166,7 +166,8 @@ def _actor_kernel(
     W,
     H,
     V,
-    T,
+    TC,
+    TB,
     R,
     K,
     P,
@@ -207,9 +208,9 @@ def _actor_kernel(
     pl_s = next(it) if P else None
     used_s, oh_s = next(it), next(it)
 
-    t = pl.program_id(1)
+    tb = pl.program_id(1)
 
-    @pl.when(t == 0)
+    @pl.when(tb == 0)
     def _init():
         grid_s[:, :] = grid_i[0]
         cont_s[:, :] = cont_i[0]
@@ -221,132 +222,141 @@ def _actor_kernel(
         if P:
             pl_s[:, :, :] = pl_i[0]
 
+    # Scratch state loads/stores bracket the WHOLE TC-step loop: the
+    # per-invocation fixed cost (grid launch, scratch round trip) amortizes
+    # over TC timesteps — the dominant non-matmul share of the rollout phase
+    # at TC=1 (grid=(Eb, T) was 1024 launches per collection at the
+    # north-star config; see STATUS round 5).
     g = grid_s[:, :]
     c = cont_s[:, :]
     sc = {r: sc_s[r] for r in range(NUM_SC)}
     scal = tuple(scal_s[k] for k in range(K))
     planes = tuple(pl_s[p] for p in range(P))
-
-    # --- observation of the CURRENT state, policy, sampling ---------------
-    # The policy observes the state BEFORE the transition — including before
-    # any family pre-step dynamics, exactly like the XLA collector
-    # (observation precedes step_env's _pre_step call, core/env.py:112-121).
-    pv = packed_view_block(g, sc, W=W, H=H, V=V, see_through=see_through)
-    obs_rows = [pv[i][j] for i in range(V) for j in range(V)]
-    for slot, row in enumerate(obs_rows):
-        obs_o[0, 0, slot] = row
-    d = sc[ROW_DIR]
-    dir_o[0, 0, 0] = d
-
-    heads = _policy_block(
-        obs_rows, d,
-        w1_ref[:, :], b1_ref[:, :], w2_ref[:, :], b2_ref[:, :],
-        wh_ref[:, :], bh_ref[:, :],
-        oh_s, V=V,
-    )
-    action, logp, value = _sample_block(heads, noise_ref[0, 0], NA)
-    act_o[0, 0, 0] = action
-    logp_o[0, 0, 0] = logp
-    val_o[0, 0, 0] = value
-
-    # --- transition + auto-reset from the cache (step_cached semantics) ---
-    if ext is not None:
-        # Pre-action dynamics (e.g. the Dynamic-Obstacles walk) — the same
-        # hook order as the random-rollout kernel (fused_rollout.py) and
-        # step_env.
-        g, c, sc, scal, planes = ext.pre_step(
-            env, W, H, g, c, sc, scal, planes, action
-        )
-    g_prev, sc_prev = g, sc
-    mapped = ext.map_action(env, action) if ext is not None else action
-    g, c, sc, reward, aux = _step_block(
-        g, c, sc, mapped, W=W, H=H, no_objects=no_obj
-    )
-    if ext is not None:
-        fmask, fcell_prev, fcell_post = aux
-        ctx = FusedCtx(
-            env=env,
-            W=W,
-            H=H,
-            g_prev=g_prev,
-            g_post=g,
-            c=c,
-            sc_prev=sc_prev,
-            sc=sc,
-            fmask=fmask,
-            fcell_prev=fcell_prev,
-            fcell_post=fcell_post,
-            action=action,
-            reward=reward,
-            scal=scal,
-            planes=planes,
-        )
-        term_x, reward, scal, planes = ext.post_step(ctx)
-        sc[ROW_TERM] = sc[ROW_TERM] | term_x.astype(jnp.int32)
-    done = (sc[ROW_TERM] | sc[ROW_TRUNC]) != 0
-    rew_o[0, 0, 0] = reward
-    done_o[0, 0, 0] = done.astype(jnp.int32)
-
-    # no_obj / static_mis: the contains plane and the mission vector are
-    # reset-blend identities for flagged families (core/env.py capability
-    # contract) — their blends and scratch rewrites are statically skipped.
     used = used_s[0]
     mis = mis_s[:, :]
-    if counter_reset:
-        # In-kernel fresh-episode generation from the counter stream
-        # (ext.covers_reset): the reference's fresh-reset contract at any
-        # episode rate — no cache, no covering-R sizing.
-        fg, fc, fsc, fm, fscal, fpl = ext.reset_block(
-            env, W, H, seeds_ref[0, 0], seeds_ref[0, 1], used
-        )
-        fc = fc if not no_obj else None
-        fm = fm if not static_mis else None
-        fscal = list(fscal)
-        fpl = list(fpl)
-    else:
-        fg = cgrid_ref[0, 0]
-        fc = ccont_ref[0, 0] if not no_obj else None
-        fsc = {r: csc_ref[0, 0, r] for r in range(NUM_SC)}
-        fm = cmis_ref[0, 0] if not static_mis else None
-        fscal = [cscal_ref[0, 0, k] for k in range(K)]
-        fpl = [cpl_ref[0, 0, p] for p in range(P)]
-        for r in range(1, R):
-            take = used >= r
-            fg = jnp.where(take[None], cgrid_ref[0, r], fg)
-            if not no_obj:
-                fc = jnp.where(take[None], ccont_ref[0, r], fc)
-            for q in range(NUM_SC):
-                fsc[q] = jnp.where(take, csc_ref[0, r, q], fsc[q])
-            if not static_mis:
-                fm = jnp.where(take[None], cmis_ref[0, r], fm)
-            for k in range(K):
-                fscal[k] = jnp.where(take, cscal_ref[0, r, k], fscal[k])
-            for p in range(P):
-                fpl[p] = jnp.where(take[None], cpl_ref[0, r, p], fpl[p])
-    g = jnp.where(done[None], fg, g)
-    for q in range(NUM_SC):
-        sc[q] = jnp.where(done, fsc[q], sc[q])
-    scal = tuple(jnp.where(done, fscal[k], scal[k]) for k in range(K))
-    planes = tuple(jnp.where(done[None], fpl[p], planes[p]) for p in range(P))
-    used_s[0] = used + done.astype(jnp.int32)
 
+    for kt in range(TC):
+        # --- observation of the CURRENT state, policy, sampling -----------
+        # The policy observes the state BEFORE the transition — including
+        # before any family pre-step dynamics, exactly like the XLA
+        # collector (observation precedes step_env's _pre_step call,
+        # core/env.py:112-121).
+        pv = packed_view_block(g, sc, W=W, H=H, V=V, see_through=see_through)
+        obs_rows = [pv[i][j] for i in range(V) for j in range(V)]
+        for slot, row in enumerate(obs_rows):
+            obs_o[0, kt, slot] = row
+        d = sc[ROW_DIR]
+        dir_o[0, kt, 0] = d
+
+        heads = _policy_block(
+            obs_rows, d,
+            w1_ref[:, :], b1_ref[:, :], w2_ref[:, :], b2_ref[:, :],
+            wh_ref[:, :], bh_ref[:, :],
+            oh_s, V=V,
+        )
+        action, logp, value = _sample_block(heads, noise_ref[0, kt], NA)
+        act_o[0, kt, 0] = action
+        logp_o[0, kt, 0] = logp
+        val_o[0, kt, 0] = value
+
+        # --- transition + auto-reset (step_cached semantics) --------------
+        if ext is not None:
+            # Pre-action dynamics (e.g. the Dynamic-Obstacles walk) — the
+            # same hook order as the random-rollout kernel and step_env.
+            g, c, sc, scal, planes = ext.pre_step(
+                env, W, H, g, c, sc, scal, planes, action
+            )
+        g_prev, sc_prev = g, sc
+        mapped = ext.map_action(env, action) if ext is not None else action
+        g, c, sc, reward, aux = _step_block(
+            g, c, sc, mapped, W=W, H=H, no_objects=no_obj
+        )
+        if ext is not None:
+            fmask, fcell_prev, fcell_post = aux
+            ctx = FusedCtx(
+                env=env,
+                W=W,
+                H=H,
+                g_prev=g_prev,
+                g_post=g,
+                c=c,
+                sc_prev=sc_prev,
+                sc=sc,
+                fmask=fmask,
+                fcell_prev=fcell_prev,
+                fcell_post=fcell_post,
+                action=action,
+                reward=reward,
+                scal=scal,
+                planes=planes,
+            )
+            term_x, reward, scal, planes = ext.post_step(ctx)
+            sc[ROW_TERM] = sc[ROW_TERM] | term_x.astype(jnp.int32)
+        done = (sc[ROW_TERM] | sc[ROW_TRUNC]) != 0
+        rew_o[0, kt, 0] = reward
+        done_o[0, kt, 0] = done.astype(jnp.int32)
+
+        # no_obj / static_mis: the contains plane and the mission vector are
+        # reset-blend identities for flagged families (core/env.py
+        # capability contract) — their blends are statically skipped.
+        if counter_reset:
+            # In-kernel fresh-episode generation from the counter stream
+            # (ext.covers_reset): the reference's fresh-reset contract at
+            # any episode rate — no cache, no covering-R sizing.
+            fg, fc, fsc, fm, fscal, fpl = ext.reset_block(
+                env, W, H, seeds_ref[0, 0], seeds_ref[0, 1], used
+            )
+            fc = fc if not no_obj else None
+            fm = fm if not static_mis else None
+            fscal = list(fscal)
+            fpl = list(fpl)
+        else:
+            fg = cgrid_ref[0, 0]
+            fc = ccont_ref[0, 0] if not no_obj else None
+            fsc = {r: csc_ref[0, 0, r] for r in range(NUM_SC)}
+            fm = cmis_ref[0, 0] if not static_mis else None
+            fscal = [cscal_ref[0, 0, k] for k in range(K)]
+            fpl = [cpl_ref[0, 0, p] for p in range(P)]
+            for r in range(1, R):
+                take = used >= r
+                fg = jnp.where(take[None], cgrid_ref[0, r], fg)
+                if not no_obj:
+                    fc = jnp.where(take[None], ccont_ref[0, r], fc)
+                for q in range(NUM_SC):
+                    fsc[q] = jnp.where(take, csc_ref[0, r, q], fsc[q])
+                if not static_mis:
+                    fm = jnp.where(take[None], cmis_ref[0, r], fm)
+                for k in range(K):
+                    fscal[k] = jnp.where(take, cscal_ref[0, r, k], fscal[k])
+                for p in range(P):
+                    fpl[p] = jnp.where(take[None], cpl_ref[0, r, p], fpl[p])
+        g = jnp.where(done[None], fg, g)
+        for q in range(NUM_SC):
+            sc[q] = jnp.where(done, fsc[q], sc[q])
+        scal = tuple(jnp.where(done, fscal[k], scal[k]) for k in range(K))
+        planes = tuple(
+            jnp.where(done[None], fpl[p], planes[p]) for p in range(P)
+        )
+        used = used + done.astype(jnp.int32)
+        if not no_obj:
+            c = jnp.where(done[None], fc, c)
+        if not static_mis:
+            mis = jnp.where(done[None], fm, mis)
+
+    used_s[0] = used
     grid_s[:, :] = g
-    if no_obj:
-        pass  # contains scratch keeps its _init value (never written)
-    else:
-        c = jnp.where(done[None], fc, c)
+    if not no_obj:
         cont_s[:, :] = c
     for q in range(NUM_SC):
         sc_s[q] = sc[q]
     if not static_mis:
-        mis = jnp.where(done[None], fm, mis)
         mis_s[:, :] = mis
     for k in range(K):
         scal_s[k] = scal[k]
     for p in range(P):
         pl_s[p] = planes[p]
 
-    @pl.when(t == T - 1)
+    @pl.when(tb == TB - 1)
     def _final():
         grid_f[0] = grid_s[:, :]
         cont_f[0] = cont_s[:, :]
@@ -394,7 +404,7 @@ def supports_fused_actor(env, num_envs: int, resets_per_chunk: int = 2) -> bool:
     )
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
 def fused_actor_rollout(
     env,
     params,
@@ -403,6 +413,7 @@ def fused_actor_rollout(
     num_steps: int,
     resets_per_chunk: int = 2,
     interpret: bool | None = None,
+    time_chunk: int | None = None,
 ):
     """Collect ``num_steps`` on-policy steps with the actor in the kernel.
 
@@ -423,6 +434,27 @@ def fused_actor_rollout(
     WH = W * H
     T = int(num_steps)
     R = int(resets_per_chunk)
+    ext_pre = getattr(env, "fused_ext", None)
+    # Timesteps per kernel invocation: grid=(Eb, T) at the north-star config
+    # was 1024 launches per collection, and the per-launch fixed cost
+    # (dispatch + scratch state round trip) was the dominant non-matmul
+    # share of the rollout phase.  TC amortizes it; ext families trace a
+    # larger per-step body, so they unroll less to bound compile time, and
+    # interpret mode (test lane) stays at 1 (the unrolled trace would slow
+    # every equivalence test; a dedicated chunk-equivalence test forces
+    # ``time_chunk`` instead).
+    if time_chunk is not None:
+        desired_tc = int(time_chunk)
+    elif interpret is not False and jax.devices()[0].platform != "tpu":
+        desired_tc = 1
+    else:
+        desired_tc = 4 if ext_pre is not None else 8
+    TC = 1
+    for cand in range(desired_tc, 0, -1):
+        if T % cand == 0:
+            TC = cand
+            break
+    TB = T // TC
     F1 = _f1(V)
     na = int(env.num_actions)
     # Mission width varies by family (classic 8, BabyAI 44); structural dim.
@@ -495,21 +527,23 @@ def fused_actor_rollout(
 
     def spec(*shape, index=None):
         if index is None:
-            index = lambda e, t: (e,) + (0,) * len(shape)
+            index = lambda e, tb: (e,) + (0,) * len(shape)
         return pl.BlockSpec((1,) + shape, index, memory_space=pltpu.VMEM)
 
     def wspec(*shape):
-        return pl.BlockSpec(shape, lambda e, t: (0,) * len(shape), memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shape, lambda e, tb: (0,) * len(shape), memory_space=pltpu.VMEM)
 
     def tspec(*shape):
+        # One (1, TC)-deep time block per invocation: TC timesteps' rows
+        # stream out per kernel launch (the launch-amortization lever).
         return pl.BlockSpec(
-            (1, 1) + shape, lambda e, t: (e, t) + (0,) * len(shape),
+            (1, TC) + shape, lambda e, tb: (e, tb) + (0,) * len(shape),
             memory_space=pltpu.VMEM,
         )
 
     kernel = partial(
         _actor_kernel,
-        W=W, H=H, V=V, T=T, R=R, K=K, P=P, NA=na,
+        W=W, H=H, V=V, TC=TC, TB=TB, R=R, K=K, P=P, NA=na,
         see_through=bool(env.see_through_walls), env=env, ext=ext,
         no_obj=bool(getattr(env, "fused_no_objects", False)),
         static_mis=bool(getattr(env, "fused_static_mission", False)),
@@ -546,7 +580,7 @@ def fused_actor_rollout(
     )
     outs = pl.pallas_call(
         kernel,
-        grid=(Eb, T),
+        grid=(Eb, TB),
         in_specs=(
             [
                 tspec(HEAD_ROWS, B),  # sampling noise bits

@@ -45,7 +45,12 @@ MEASURED_MAX_EPISODES_256: dict[str, int] = {
     "MiniGrid-Dynamic-Obstacles-8x8-v0": 37,  # 65536 envs; mean 14.28
     "BabyAI-GoToLocal-v0": 11,  # 16384 envs; mean 4.67 (truncates at 64)
     "MiniGrid-ObstructedMaze-2Dlh-v0": 2,  # 8192 envs; mean 0.38
-    "BabyAI-GoTo-v0": 2,  # 16384 envs; mean 0.39 (max_steps=576)
+    # Measured max 3 at 256 envs x 2 chunks (the full-scale per-step-generate
+    # probe overloads the worker; mean 0.12 — dynamic per-mission max_steps
+    # puts a short-truncation tail under the 576 headline window).  Entered
+    # as 5 for the unmeasured full-scale tail; the bench assert still
+    # certifies the published run.
+    "BabyAI-GoTo-v0": 5,
 }
 
 # Conservative fallback for ids without a measured entry: assume an episode

@@ -14,6 +14,48 @@ import jax
 import jax.numpy as jnp
 
 
+def make_cached_stepper(env, cache, num_envs: int):
+    """Batched ``step_cached`` with the auto-reset drawn through ONE packed
+    gather (utils/tree_gather): the cache is packed to a [N*R, words] int32
+    buffer once, and each step gathers row ``n*R + min(used_n, R-1)`` and
+    unpacks — semantically identical to ``jax.vmap(env.step_cached)``
+    (enforced bit-exactly by tests/test_reset_budget.py) but with an HLO
+    whose size is independent of R: the per-step R-way predicated blend
+    multiplied the scan body by R x leaves and blew up remote compile time
+    at covering R (30-leaf BabyAI states at R=7 never finished).
+
+    Returns ``step(states, actions, used) -> (states, reward, term, trunc,
+    used)``.
+    """
+    import jax.numpy as jnp
+
+    from minigrid_tpu.utils.tree_gather import tree_pack, tree_unpack
+
+    R = jax.tree.leaves(cache)[0].shape[1]
+    flat = jax.tree.map(
+        lambda a: a.reshape((num_envs * R,) + a.shape[2:]), cache
+    )
+    packed, meta = tree_pack(flat)
+    base = jnp.arange(num_envs, dtype=jnp.int32) * R
+
+    def step(states, actions, used):
+        stepped, reward = jax.vmap(env.step_env)(states, actions)
+        term, trunc = stepped.terminated, stepped.truncated
+        done = term | trunc
+        rows = packed[base + jnp.minimum(used, R - 1)]
+        fresh = tree_unpack(rows, meta)
+        new = jax.tree.map(
+            lambda f, b: jnp.where(
+                jnp.reshape(done, done.shape + (1,) * (f.ndim - 1)), f, b
+            ),
+            fresh,
+            stepped,
+        )
+        return new, reward, term, trunc, used + done.astype(jnp.int32)
+
+    return step
+
+
 class VectorEnv:
     """Lockstep batch of ``num_envs`` copies of one env family."""
 
@@ -111,7 +153,7 @@ def rollout_random(
     if env.expensive_reset:
         key, k_cache = jax.random.split(key)
         cache = env.batch_reset_cache(k_cache, num_envs, resets_per_chunk)
-        step_batch = jax.vmap(env.step_cached)
+        step_batch = make_cached_stepper(env, cache, num_envs)
 
         def body(carry, _):
             states, used, key, total_r, total_done = carry
@@ -119,8 +161,8 @@ def rollout_random(
             actions = jax.random.randint(
                 k_act, (num_envs,), 0, env.num_actions, dtype=jnp.int32
             )
-            _, states, reward, term, trunc, used = step_batch(
-                states, actions, cache, used
+            states, reward, term, trunc, used = step_batch(
+                states, actions, used
             )
             total_r = total_r + reward.sum()
             total_done = total_done + (term | trunc).sum()

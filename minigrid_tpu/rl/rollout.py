@@ -138,9 +138,11 @@ def collect_trajectory(
     v = env.agent_view_size
     obs_packed = jax.vmap(lambda s: env.observation_packed(s).reshape(v * v))
     if env.expensive_reset:
+        from minigrid_tpu.parallel.vector import make_cached_stepper
+
         key, k_cache = jax.random.split(key)
         cache = env.batch_reset_cache(k_cache, num_envs, resets_per_chunk)
-        step_cached = jax.vmap(env.step_cached)
+        step_cached = make_cached_stepper(env, cache, num_envs)
 
     def body(carry, _):
         env_states, used, key = carry
@@ -160,8 +162,8 @@ def collect_trajectory(
             axis=-1,
         )
         if env.expensive_reset:
-            _, env_states, reward, terminated, truncated, used = step_cached(
-                env_states, action, cache, used
+            env_states, reward, terminated, truncated, used = step_cached(
+                env_states, action, used
             )
         else:
             _, env_states, reward, terminated, truncated = jax.vmap(env.step)(

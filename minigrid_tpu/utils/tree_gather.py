@@ -19,6 +19,47 @@ import jax
 import jax.numpy as jnp
 
 
+def tree_pack(tree):
+    """Pack every leaf (shared leading axis N) into ONE [N, words] int32
+    buffer; returns ``(packed, meta)`` for :func:`tree_unpack`.  Bool leaves
+    widen to int32; other non-int32 dtypes ride as int32 bitcasts (4-byte
+    dtypes only).  Splitting pack from gather lets a scan body gather from a
+    buffer packed ONCE outside the loop (the per-step reset-cache blend in
+    parallel/vector.py — packing per step would re-concatenate every leaf
+    every step)."""
+    leaves, treedef = jax.tree.flatten(tree)
+    assert leaves, "tree_pack: empty tree"
+    n = leaves[0].shape[0]
+    cols = []
+    for leaf in leaves:
+        assert leaf.shape[0] == n, "tree_pack: ragged leading axis"
+        flat = leaf.reshape(n, -1)
+        if flat.dtype == jnp.bool_:
+            flat = flat.astype(jnp.int32)
+        elif flat.dtype != jnp.int32:
+            assert flat.dtype.itemsize == 4, f"tree_pack: {flat.dtype} leaf"
+            flat = jax.lax.bitcast_convert_type(flat, jnp.int32)
+        cols.append(flat)
+    meta = (treedef, [(leaf.dtype, leaf.shape[1:]) for leaf in leaves])
+    return jnp.concatenate(cols, axis=1), meta
+
+
+def tree_unpack(rows: jnp.ndarray, meta):
+    """Inverse of :func:`tree_pack` on gathered rows [M, words]."""
+    treedef, specs = meta
+    out, o = [], 0
+    for dtype, shape in specs:
+        w = math.prod(shape)
+        chunk = rows[:, o : o + w]
+        o += w
+        if dtype == jnp.bool_:
+            chunk = chunk != 0
+        elif dtype != jnp.int32:
+            chunk = jax.lax.bitcast_convert_type(chunk, dtype)
+        out.append(chunk.reshape((rows.shape[0],) + tuple(shape)))
+    return jax.tree.unflatten(treedef, out)
+
+
 def tree_take(tree, idx: jnp.ndarray):
     """``jax.tree.map(lambda a: a[idx], tree)`` via one packed gather.
 
@@ -27,32 +68,11 @@ def tree_take(tree, idx: jnp.ndarray):
     packed buffer and narrowed back; other non-int32 dtypes ride as int32
     bitcasts (4-byte dtypes only).
     """
-    leaves, treedef = jax.tree.flatten(tree)
+    leaves, _ = jax.tree.flatten(tree)
     if not leaves:
         return tree
-    n = leaves[0].shape[0]
-    cols = []
-    for leaf in leaves:
-        assert leaf.shape[0] == n, "tree_take: ragged leading axis"
-        flat = leaf.reshape(n, -1)
-        if flat.dtype == jnp.bool_:
-            flat = flat.astype(jnp.int32)
-        elif flat.dtype != jnp.int32:
-            assert flat.dtype.itemsize == 4, f"tree_take: {flat.dtype} leaf"
-            flat = jax.lax.bitcast_convert_type(flat, jnp.int32)
-        cols.append(flat)
-    packed = jnp.concatenate(cols, axis=1)[idx]
-    out, o = [], 0
-    for leaf in leaves:
-        w = math.prod(leaf.shape[1:])
-        chunk = packed[:, o : o + w]
-        o += w
-        if leaf.dtype == jnp.bool_:
-            chunk = chunk != 0
-        elif leaf.dtype != jnp.int32:
-            chunk = jax.lax.bitcast_convert_type(chunk, leaf.dtype)
-        out.append(chunk.reshape((idx.shape[0],) + leaf.shape[1:]))
-    return jax.tree.unflatten(treedef, out)
+    packed, meta = tree_pack(tree)
+    return tree_unpack(packed[idx], meta)
 
 
 def compact_valid_indices(valid: jnp.ndarray, total: int) -> jnp.ndarray:

@@ -216,3 +216,25 @@ def test_actor_kernel_ext_babyai_verifier():
     reward and the final InstrState round-trips bit-exactly."""
     traj = _replay_check("BabyAI-GoToRedBallGrey-v0", 1024, 8, 2, seed=5)
     assert int((np.asarray(traj["reward"]) > 0).sum()) > 0, "no successes"
+
+
+def test_actor_kernel_time_chunking_is_invisible():
+    """TC timesteps per kernel invocation (the launch-amortization lever)
+    must not change a single bit of the trajectory: same key, different
+    ``time_chunk`` -> identical outputs."""
+    n, t = 1024, 4
+    env, model, params, states, key = _setup("MiniGrid-DoorKey-5x5-v0", n, seed=7)
+    fin1, tr1 = fused_actor_rollout(
+        env, params, states, key, t, 2, True, 1
+    )
+    fin2, tr2 = fused_actor_rollout(
+        env, params, states, key, t, 2, True, 2
+    )
+    for f in sorted(tr1):
+        np.testing.assert_array_equal(
+            np.asarray(tr1[f]), np.asarray(tr2[f]), err_msg=f
+        )
+    np.testing.assert_array_equal(np.asarray(fin1.grid), np.asarray(fin2.grid))
+    np.testing.assert_array_equal(
+        np.asarray(fin1.step_count), np.asarray(fin2.step_count)
+    )

@@ -307,11 +307,11 @@ def test_fused_babyai_maze_22x22():
     # the 19x19 WH cap).  BabyAI maze levels (GoTo/Synth*/BossLevel,
     # reference minigrid/envs/babyai/synth.py:12,388 and core/levelgen.py:33-55)
     # run the full verifier ext in-kernel at this size.
-    run_equivalence("BabyAI-GoTo-v0", t=6, seed=2)
+    run_equivalence("BabyAI-GoTo-v0", t=4, seed=2)
 
 
 def test_fused_multiroom_25x25():
     # 625-cell grid (reference minigrid/envs/multiroom.py:112-279): the
     # largest classic level; default hooks, expensive reset via the cache.
-    done = run_equivalence("MiniGrid-MultiRoom-N2-S4-v0", t=6, seed=4, max_steps=4)
+    done = run_equivalence("MiniGrid-MultiRoom-N2-S4-v0", t=4, seed=4, max_steps=3)
     assert done > 0

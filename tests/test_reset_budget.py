@@ -165,3 +165,34 @@ def test_learner_metrics_surface_episode_rate():
     _, metrics = jax.jit(train_step)(state)
     assert "max_episodes_per_chunk" in metrics
     assert int(metrics["max_episodes_per_chunk"]) >= 0
+
+
+@pytest.mark.parametrize(
+    "env_id", ["BabyAI-GoToLocal-v0", "MiniGrid-LavaCrossingS9N2-v0"]
+)
+def test_packed_gather_stepper_matches_step_cached(env_id):
+    """make_cached_stepper (one packed gather per step, R-independent HLO)
+    must reproduce ``jax.vmap(env.step_cached)`` bit-exactly — same cache,
+    same actions, every field including ``extra`` and the rng blend."""
+    from minigrid_tpu.parallel.vector import make_cached_stepper
+
+    env = mg.make(env_id)
+    n, r, t = 64, 5, 40
+    key = jax.random.PRNGKey(4)
+    k1, k2, k3 = jax.random.split(key, 3)
+    _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k1, n))
+    cache = env.batch_reset_cache(k2, n, r)
+    actions = jax.random.randint(k3, (t, n), 0, env.num_actions, jnp.int32)
+
+    step_g = jax.jit(make_cached_stepper(env, cache, n))
+    step_v = jax.jit(jax.vmap(env.step_cached))
+
+    sg, ug = states, jnp.zeros((n,), jnp.int32)
+    sv, uv = states, jnp.zeros((n,), jnp.int32)
+    for i in range(t):
+        sg, rg, tg, cg, ug = step_g(sg, actions[i], ug)
+        _, sv, rv, tv, cv, uv = step_v(sv, actions[i], cache, uv)
+    assert int(ug.max()) > 0, "no resets exercised"
+    np.testing.assert_array_equal(np.asarray(ug), np.asarray(uv))
+    for la, lb in zip(jax.tree.leaves(sg), jax.tree.leaves(sv)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))

@@ -162,7 +162,13 @@ def test_kernel_under_shard_map_default_hooks():
 
 
 def test_kernel_under_shard_map_ext_hooks():
-    # fused_ext family (BabyAI verifier planes in-kernel): the hook-skipping
-    # mesh bug regression test.
-    traj = _kernel_under_shard_map("BabyAI-GoToLocal-v0")
+    # fused_ext family: the hook-skipping mesh bug regression test —
+    # Dynamic-Obstacles runs its pre-step walk, action remap, collision
+    # penalty AND the counter-reset generator inside the kernel under
+    # shard_map.  (The heavyweight BabyAI verifier ext's in-kernel
+    # correctness is covered single-device by tests/test_actor_rollout.py;
+    # this test pins the shard_map routing, for which any ext family is a
+    # witness — a hook skipped here diverges immediately.)
+    traj = _kernel_under_shard_map("MiniGrid-Dynamic-Obstacles-5x5-v0")
     assert np.asarray(traj.obs).shape[0] == 4
+    assert float(np.asarray(traj.reward).min()) == -1.0  # collisions fired

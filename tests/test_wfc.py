@@ -4,6 +4,7 @@ synthetic problems, reference: tests/test_wfc/test_wfc_solver.py:10-60)."""
 
 from __future__ import annotations
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -206,10 +207,31 @@ _CORPUS_PATH = __file__.rsplit("/", 1)[0] + "/golden/wfc_ref_corpus.npz"
     [
         "MazeSimple",
         "ObstaclesBlackdots",
-        "RoomsFabric",
         "DungeonMazeScaled",
-        "ObstaclesAngular",
-        "ObstaclesHogs3",
+        # The three slowest corpus comparisons (~3 min of the default lane)
+        # run weekly with the slow-preset sweep; the three above keep
+        # per-class coverage (maze / dots / scaled) in every run.
+        pytest.param(
+            "RoomsFabric",
+            marks=pytest.mark.skipif(
+                not os.environ.get("MINIGRID_TPU_FULL"),
+                reason="weekly full sweep (MINIGRID_TPU_FULL=1)",
+            ),
+        ),
+        pytest.param(
+            "ObstaclesAngular",
+            marks=pytest.mark.skipif(
+                not os.environ.get("MINIGRID_TPU_FULL"),
+                reason="weekly full sweep (MINIGRID_TPU_FULL=1)",
+            ),
+        ),
+        pytest.param(
+            "ObstaclesHogs3",
+            marks=pytest.mark.skipif(
+                not os.environ.get("MINIGRID_TPU_FULL"),
+                reason="weekly full sweep (MINIGRID_TPU_FULL=1)",
+            ),
+        ),
     ],
 )
 def test_distribution_matches_reference(preset):

@@ -604,18 +604,29 @@ BENCH_INFORMATIONAL_KEYS = {
 }
 
 
-def refresh_trend():
+def refresh_trend(only=None):
     """Re-measure every floor metric and rewrite tools/perf_trend.json (the
     source of tests/test_perf_tpu.py's trend-based regression floors), and
     append the snapshot to perf_trend_history.json (the source of the
-    docs/content/performance.md round-over-round table)."""
+    docs/content/performance.md round-over-round table).  ``only`` (a set of
+    keys) restricts the re-measurement and merges over the existing file —
+    for refreshing the metrics a targeted change touched without re-paying
+    the full ~40 min sweep."""
     out = {}
+    if only and os.path.exists(TREND_PATH):
+        with open(TREND_PATH) as f:
+            out = json.load(f)
     for key, fn in TREND_METRICS.items():
+        if only and key not in only:
+            continue
         out[key] = round(fn(), 2 if "levels" in key else None)
-    t1, marg, pipe = ppo_times()
-    out["ppo_sps_single_dispatch"] = round(8192 * 128 / t1)
-    out["ppo_sps_marginal"] = round(8192 * 128 / marg)
-    out["ppo_sps_pipelined"] = round(8192 * 128 / pipe)
+        print(f"# {key} = {out[key]}", file=sys.stderr, flush=True)
+    if not only or {"ppo_sps_single_dispatch", "ppo_sps_marginal",
+                    "ppo_sps_pipelined"} & set(only):
+        t1, marg, pipe = ppo_times()
+        out["ppo_sps_single_dispatch"] = round(8192 * 128 / t1)
+        out["ppo_sps_marginal"] = round(8192 * 128 / marg)
+        out["ppo_sps_pipelined"] = round(8192 * 128 / pipe)
     with open(TREND_PATH, "w") as f:
         json.dump(out, f, indent=1)
     history = []
@@ -648,6 +659,7 @@ def main():
     ap.add_argument("--num-steps", type=int, default=256)
     ap.add_argument("--preset", default="MazeSimple")
     ap.add_argument("--no-fused", action="store_true")
+    ap.add_argument("--only", default=None, help="trend: comma-separated metric keys")
     args = ap.parse_args()
 
     if args.mode == "rollout":
@@ -698,7 +710,8 @@ def main():
     elif args.mode == "rtt":
         print(f"tunnel RTT ~{tunnel_rtt()*1e3:.1f} ms per dispatch+fetch")
     elif args.mode == "trend":
-        print(json.dumps(refresh_trend(), indent=1))
+        only = set(args.only.split(",")) if args.only else None
+        print(json.dumps(refresh_trend(only), indent=1))
 
 
 if __name__ == "__main__":
