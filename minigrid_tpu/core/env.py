@@ -172,8 +172,14 @@ class MiniGridEnv:
         attempt-level rejection sampling override this with a pooled
         generator (see babyai RoomGridLevel.batch_reset_cache)."""
         if self.flat_reset_pool:
+            from minigrid_tpu.utils.chunked import chunked_vmap, lane_cap
+
             total = num_envs * num_resets
-            states = jax.vmap(self._generate)(jax.random.split(key, total))
+            states = chunked_vmap(
+                self._generate,
+                jax.random.split(key, total),
+                lane_cap(self.width * self.height),
+            )
             return jax.tree.map(
                 lambda a: a.reshape((num_envs, num_resets) + a.shape[1:]), states
             )

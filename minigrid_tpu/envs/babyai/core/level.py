@@ -263,20 +263,27 @@ class RoomGridLevel(RoomGridEnvBase):
         under-provision wraps around to reuse valid levels (probability
         ~exp(-N) at 2x for ~50%-validity families).
         """
+        from minigrid_tpu.utils.chunked import chunked_vmap, lane_cap
+
         total = num_envs * num_resets
         pool = int(total * self.pool_factor)
         k_pool, k_fin = jax.random.split(key)
+        cap = lane_cap(self.width * self.height)
 
         def attempt(k):
             s, instr, valid = self.gen_attempt(k)
             valid &= self._validate(s, instr)
             return s, instr, valid
 
-        s, instr, valid = jax.vmap(attempt)(jax.random.split(k_pool, pool))
+        s, instr, valid = chunked_vmap(
+            attempt, jax.random.split(k_pool, pool), cap
+        )
         idx = compact_valid_indices(valid, total)  # valid-first, wrapping
         s, instr = tree_take((s, instr), idx)
-        states = jax.vmap(self._finish_level)(
-            s, instr, jax.random.split(k_fin, total)
+        states = chunked_vmap(
+            lambda t: self._finish_level(*t),
+            (s, instr, jax.random.split(k_fin, total)),
+            cap,
         )
         return jax.tree.map(
             lambda a: a.reshape((num_envs, num_resets) + a.shape[1:]), states
