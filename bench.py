@@ -100,13 +100,16 @@ def _chain_marginal(step, carry, lengths=(4, 8), reps=3):
 def _rollout_sps(env, num_envs, key, env_id=None):
     """(marginal sps, blocking sps, R) for one tracked config.
 
-    R is the covering reset-cache size from the measured episode-rate table
-    (parallel/reset_budget), and the published numbers are certified
-    replay-free: ``assert_chain_covered`` runs the same jitted step chained
-    and fails the bench if any env consumed more than R cache slots."""
+    R is the reset-budget capacity the rollout path enforces
+    (parallel/vector.rollout_capacity: per-env covering R on the fused path,
+    shared-pool size on the XLA cached path), and the published numbers are
+    certified replay-free: ``assert_chain_covered`` runs the same jitted
+    step chained and fails the bench if any chunk consumed past capacity."""
     from minigrid_tpu.parallel.reset_budget import assert_chain_covered, resets_for
+    from minigrid_tpu.parallel.vector import rollout_capacity
 
     resets = resets_for(env, NUM_STEPS, env_id)
+    capacity = rollout_capacity(env, num_envs, NUM_STEPS, env_id)
     k_reset, k_roll = jax.random.split(key)
     _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k_reset, num_envs))
 
@@ -117,7 +120,7 @@ def _rollout_sps(env, num_envs, key, env_id=None):
         return (st, kk), (total_r, dones, mu)
 
     t = _chain_marginal(step, (states, k_roll))
-    assert_chain_covered(step, (states, k_roll), resets, env)
+    assert_chain_covered(step, (states, k_roll), capacity, env)
 
     # Blocking single-dispatch variant of the SAME workload (includes the
     # axon tunnel's fixed ~25 ms dispatch+fetch per call) — kept per metric

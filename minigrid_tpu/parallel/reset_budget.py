@@ -58,6 +58,44 @@ MEASURED_MAX_EPISODES_256: dict[str, int] = {
 # over-provisions; measure and add an entry for any hot config.
 _FALLBACK_EPISODES_256 = 8
 
+# Measured MEAN episodes per env per 256-step chunk (same runs as the p100
+# table above).  Sizes the SHARED reset pool of the XLA cached path
+# (parallel/vector.make_pool_stepper): levels there are drawn in global
+# episode order, so the pool only needs to cover the AGGREGATE episode count
+# — num_envs * mean — not num_envs * per-env-max.  On rare-reset families
+# the gap is enormous (BabyAI-GoTo: mean 0.12 vs covering R=7 → 40x less
+# generation for the same replay-free iid contract).
+MEASURED_MEAN_EPISODES_256: dict[str, float] = {
+    "MiniGrid-Empty-Random-5x5-v0": 3.58,
+    "MiniGrid-FourRooms-v0": 2.55,
+    "MiniGrid-DoorKey-8x8-v0": 0.38,
+    "MiniGrid-LavaCrossingS9N2-v0": 3.68,
+    "MiniGrid-Dynamic-Obstacles-8x8-v0": 14.28,
+    "BabyAI-GoToLocal-v0": 4.67,
+    "MiniGrid-ObstructedMaze-2Dlh-v0": 0.38,
+    "BabyAI-GoTo-v0": 0.12,
+}
+
+
+def pool_size(env, num_steps: int, num_envs: int, env_id: str | None = None) -> int:
+    """Shared-pool capacity covering the aggregate episode count of one
+    ``num_envs`` x ``num_steps`` chunk.
+
+    Sized from the measured mean episode rate with a 30% multiplicative
+    margin plus a 6-sigma binomial term (aggregate counts concentrate at
+    sqrt(aggregate) scale over >=2^13 envs) — generous, because exhaustion
+    is ASSERTED (``assert_chain_covered``), never silently replayed.  Ids
+    without a measured mean fall back to the per-env covering R (no worse
+    than the per-env-slot cache).
+    """
+    if env_id is None:
+        env_id = getattr(env, "env_id", None)
+    mean = MEASURED_MEAN_EPISODES_256.get(env_id)
+    if mean is None:
+        return num_envs * resets_for(env, num_steps, env_id)
+    agg = num_envs * mean * max(num_steps, 1) / 256
+    return int(math.ceil(agg * 1.3 + 6 * math.sqrt(agg + 1) + 64))
+
 
 def covering_resets(measured_max: int, num_steps: int) -> int:
     """Covering R for a chunk of ``num_steps`` given the measured per-256-step

@@ -56,6 +56,63 @@ def make_cached_stepper(env, cache, num_envs: int):
     return step
 
 
+def make_pool_stepper(env, pool, num_envs: int):
+    """Batched ``step`` with auto-resets drawn from ONE shared pool of fresh
+    levels in global episode order.
+
+    ``pool`` is a pytree of ``P`` pre-generated levels (leading axis).  Each
+    step ranks this step's finished envs by env index (cumsum) and assigns
+    them consecutive pool rows starting at the running ``consumed`` counter,
+    so every pool row is consumed at most once and rows are iid fresh levels
+    — the same replay-free reset stream as the reference's
+    fresh-level-per-reset contract (reference: minigrid/minigrid_env.py:
+    119-143), like the per-env-slot cache, but the pool only needs to cover
+    the chunk's AGGREGATE episode count (num_envs * mean rate) instead of
+    num_envs * per-env-max (reset_budget.pool_size vs resets_for — 40x less
+    generation on rare-reset families like BabyAI-GoTo).  On exhaustion the
+    gather clamps to the last row (bounded memory) and the returned
+    ``consumed`` exceeds ``P`` — callers assert ``consumed <= P``
+    (assert_chain_covered) so an undersized pool fails loudly instead of
+    publishing replayed levels.
+
+    Returns ``step(states, actions, consumed) -> (states, reward, term,
+    trunc, consumed)`` with scalar int32 ``consumed``.
+    """
+    import jax.numpy as jnp
+
+    from minigrid_tpu.utils.tree_gather import tree_pack, tree_unpack
+
+    packed, meta = tree_pack(pool)
+    P = packed.shape[0]
+
+    def step(states, actions, consumed):
+        stepped, reward = jax.vmap(env.step_env)(states, actions)
+        term, trunc = stepped.terminated, stepped.truncated
+        done = term | trunc
+        di = done.astype(jnp.int32)
+        slot = consumed + jnp.cumsum(di) - 1  # this step's global ranks
+        rows = packed[jnp.clip(slot, 0, P - 1)]
+        fresh = tree_unpack(rows, meta)
+        new = jax.tree.map(
+            lambda f, b: jnp.where(
+                jnp.reshape(done, done.shape + (1,) * (f.ndim - 1)), f, b
+            ),
+            fresh,
+            stepped,
+        )
+        return new, reward, term, trunc, consumed + di.sum()
+
+    return step
+
+
+def batch_reset_pool(env, key: jax.Array, size: int):
+    """``size`` fresh iid levels with leading axis ``size`` — the shared
+    pool for :func:`make_pool_stepper`, drawn through the family's cache
+    generator (pooled rejection sampling for BabyAI, flat vmap otherwise)."""
+    cache = env.batch_reset_cache(key, size, 1)
+    return jax.tree.map(lambda a: a[:, 0], cache)
+
+
 class VectorEnv:
     """Lockstep batch of ``num_envs`` copies of one env family."""
 
@@ -104,6 +161,27 @@ def fused_eligible(env, num_envs: int, resets_per_chunk: int | None = None) -> b
     )
 
 
+def rollout_capacity(
+    env, num_envs: int, num_steps: int, env_id: str | None = None,
+    fused: bool | str = "auto",
+) -> int:
+    """The reset-budget capacity ``rollout_random`` enforces for this config
+    — the number ``max_used`` must stay within for the run to be certified
+    replay-free (assert_chain_covered): the per-env covering R on the fused
+    path, the shared-pool size on the XLA cached path, 0 on the per-step
+    regeneration path (exhaustion cannot occur there)."""
+    from minigrid_tpu.parallel.reset_budget import pool_size, resets_for
+
+    resets = resets_for(env, num_steps, env_id)
+    if fused == "auto":
+        fused = fused_eligible(env, num_envs, resets)
+    if fused:
+        return resets
+    if env.expensive_reset:
+        return pool_size(env, num_steps, num_envs, env_id)
+    return 0
+
+
 @partial(jax.jit, static_argnums=(0, 3, 4, 5))
 def rollout_random(
     env,
@@ -116,18 +194,22 @@ def rollout_random(
     """Scan ``num_steps`` uniform-random actions over a batch of states.
 
     Returns (final_states, total_reward, episodes_finished, max_used):
-    ``max_used`` is the largest reset-cache slot count any env consumed
-    (0 on the per-step-regeneration path, where exhaustion cannot occur).
-    ``max_used <= resets_per_chunk`` certifies the chunk matched the
-    reference's fresh-level-per-reset contract (core/env.py step_cached);
-    bench.py and tools/profiler.py assert exactly this on the runs whose
-    numbers they publish.
+    ``max_used`` counts consumed reset budget — the largest per-env cache
+    slot on the fused path, the total shared-pool rows consumed on the XLA
+    cached path, 0 on the per-step-regeneration path (exhaustion cannot
+    occur).  ``max_used <= rollout_capacity(...)`` certifies the chunk
+    matched the reference's fresh-level-per-reset contract; bench.py and
+    tools/profiler.py assert exactly this on the runs whose numbers they
+    publish.
 
-    For ``env.expensive_reset`` families the fused per-step regeneration is
-    replaced by a per-chunk reset cache of ``resets_per_chunk`` pre-generated
-    levels per env (identical step semantics; level draws amortized).
-    ``resets_per_chunk=None`` sizes the cache from the measured episode-rate
-    table (parallel/reset_budget.resets_for).
+    For ``env.expensive_reset`` families the per-step regeneration is
+    replaced by pre-generated fresh levels: the fused kernel keeps
+    ``resets_per_chunk`` levels per env resident in VMEM, while the XLA
+    cached path draws from ONE shared pool in global episode order
+    (make_pool_stepper) sized to the aggregate episode rate
+    (reset_budget.pool_size) — far fewer levels for the same iid contract.
+    ``resets_per_chunk=None`` sizes the fused cache from the measured
+    episode-rate table (parallel/reset_budget.resets_for).
 
     ``fused="auto"`` routes eligible configurations (see ``fused_eligible``)
     through the whole-rollout Pallas kernel, which keeps every env's grid in
@@ -151,34 +233,38 @@ def rollout_random(
         return final, total_r, total_done, max_used
 
     if env.expensive_reset:
+        from minigrid_tpu.parallel.reset_budget import pool_size
+
         key, k_cache = jax.random.split(key)
-        cache = env.batch_reset_cache(k_cache, num_envs, resets_per_chunk)
-        step_batch = make_cached_stepper(env, cache, num_envs)
+        pool = batch_reset_pool(
+            env, k_cache, pool_size(env, num_steps, num_envs)
+        )
+        step_batch = make_pool_stepper(env, pool, num_envs)
 
         def body(carry, _):
-            states, used, key, total_r, total_done = carry
+            states, consumed, key, total_r, total_done = carry
             key, k_act = jax.random.split(key)
             actions = jax.random.randint(
                 k_act, (num_envs,), 0, env.num_actions, dtype=jnp.int32
             )
-            states, reward, term, trunc, used = step_batch(
-                states, actions, used
+            states, reward, term, trunc, consumed = step_batch(
+                states, actions, consumed
             )
             total_r = total_r + reward.sum()
             total_done = total_done + (term | trunc).sum()
-            return (states, used, key, total_r, total_done), None
+            return (states, consumed, key, total_r, total_done), None
 
         init = (
             states,
-            jnp.zeros((num_envs,), jnp.int32),
+            jnp.zeros((), jnp.int32),
             key,
             jnp.zeros((), jnp.float32),
             jnp.zeros((), jnp.int32),
         )
-        (states, used, _, total_r, total_done), _ = jax.lax.scan(
+        (states, consumed, _, total_r, total_done), _ = jax.lax.scan(
             body, init, None, length=num_steps
         )
-        return states, total_r, total_done, used.max()
+        return states, total_r, total_done, consumed
 
     step_batch = jax.vmap(env.step)
 

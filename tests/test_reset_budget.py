@@ -98,12 +98,16 @@ def test_resets_for_contract():
 )
 def test_bench_config_episode_rate_within_budget(env_id, num_envs):
     """Default-lane guard: at CPU-affordable scale, a chained chunk's
-    max episodes-per-env stays within the covering R from the measured
-    table.  (The full-scale certification runs in bench.py on the chip —
-    assert_chain_covered on the very step being timed.)"""
+    consumed reset budget stays within the capacity the rollout path
+    enforces (per-env covering R on the fused path, shared-pool size on the
+    XLA cached path).  (The full-scale certification runs in bench.py on
+    the chip — assert_chain_covered on the very step being timed.)"""
+    from minigrid_tpu.parallel.vector import rollout_capacity
+
     env = mg.make(env_id)
     num_steps = 256
     resets = resets_for(env, num_steps, env_id)
+    capacity = rollout_capacity(env, num_envs, num_steps, env_id)
     key = jax.random.PRNGKey(3)
     k1, k2 = jax.random.split(key)
     _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k1, num_envs))
@@ -114,8 +118,8 @@ def test_bench_config_episode_rate_within_budget(env_id, num_envs):
         st, r, d, mu = rollout_random(env, st, kr, num_steps, resets)
         return (st, kk), (r, d, mu)
 
-    observed = assert_chain_covered(step, (states, k2), resets, env, chunks=2)
-    assert observed <= resets
+    observed = assert_chain_covered(step, (states, k2), capacity, env, chunks=2)
+    assert observed <= capacity
 
 
 def test_exhaustion_is_detected_not_silent():
@@ -152,6 +156,51 @@ def test_deterministic_family_exempt_from_chain_check():
 
     # R=1 with many truncations: exempt because every fresh level is equal.
     assert assert_chain_covered(step, (states, key), 1, env, chunks=1) == 0
+
+
+def test_pool_stepper_consumes_one_fresh_level_per_episode():
+    """Shared-pool path (make_pool_stepper): every episode end consumes
+    exactly one pool row (consumed == episodes finished), within the
+    aggregate-sized pool — the iid fresh-reset contract at aggregate cost."""
+    from minigrid_tpu.parallel.reset_budget import pool_size
+    from minigrid_tpu.parallel.vector import rollout_random
+
+    env = mg.make("BabyAI-GoToLocal-v0")
+    n, t = 64, 128
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k1, n))
+    _, _, done, consumed = rollout_random(env, states, k2, t, None, False)
+    assert int(done) > 0, "no episodes exercised"
+    assert int(consumed) == int(done)
+    assert int(consumed) <= pool_size(env, t, n, "BabyAI-GoToLocal-v0")
+
+
+def test_pool_stepper_draws_distinct_rows_in_order():
+    """The pool rows blended in on episode ends are consecutive DISTINCT
+    rows: stepping two envs that finish on different steps must hand them
+    different pool levels (no sticky-slot replay across envs)."""
+    from minigrid_tpu.parallel.vector import batch_reset_pool, make_pool_stepper
+
+    env = mg.make("MiniGrid-LavaCrossingS9N2-v0", max_steps=2)
+    n = 4
+    key = jax.random.PRNGKey(9)
+    k1, k2 = jax.random.split(key)
+    _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k1, n))
+    pool = batch_reset_pool(env, k2, 16)
+    step = jax.jit(make_pool_stepper(env, pool, n))
+    consumed = jnp.zeros((), jnp.int32)
+    actions = jnp.zeros((n,), jnp.int32)  # turn in place until truncation
+    for _ in range(2):
+        states, _, _, trunc, consumed = step(states, actions, consumed)
+    assert bool(trunc.all()) and int(consumed) == n
+    # Each env received pool row = its rank among that step's finishers.
+    for i in range(n):
+        expect = jax.tree.map(lambda a: a[i], pool)
+        got = jax.tree.map(lambda a: a[i], states)
+        np.testing.assert_array_equal(
+            np.asarray(expect.grid), np.asarray(got.grid)
+        )
 
 
 def test_learner_metrics_surface_episode_rate():

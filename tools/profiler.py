@@ -108,10 +108,11 @@ def rollout_sps(env_id: str, num_envs: int, num_steps: int, fused: bool | str = 
 
     import minigrid_tpu as mg
     from minigrid_tpu.parallel.reset_budget import assert_chain_covered, resets_for
-    from minigrid_tpu.parallel.vector import rollout_random
+    from minigrid_tpu.parallel.vector import rollout_capacity, rollout_random
 
     env = mg.make(env_id)
     resets = resets_for(env, num_steps, env_id)
+    capacity = rollout_capacity(env, num_envs, num_steps, env_id, fused)
     key = jax.random.PRNGKey(0)
     k1, k2 = jax.random.split(key)
     _, states = jax.jit(jax.vmap(env.reset))(jax.random.split(k1, num_envs))
@@ -123,7 +124,7 @@ def rollout_sps(env_id: str, num_envs: int, num_steps: int, fused: bool | str = 
         return (st, kk), (total_r, dones, mu)
 
     t = _bench_chain(step, (states, k2))
-    assert_chain_covered(step, (states, k2), resets, env)
+    assert_chain_covered(step, (states, k2), capacity, env)
     return num_envs * num_steps / t
 
 
