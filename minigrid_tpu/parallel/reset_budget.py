@@ -73,7 +73,12 @@ MEASURED_MEAN_EPISODES_256: dict[str, float] = {
     "MiniGrid-Dynamic-Obstacles-8x8-v0": 14.28,
     "BabyAI-GoToLocal-v0": 4.67,
     "MiniGrid-ObstructedMaze-2Dlh-v0": 0.38,
-    "BabyAI-GoTo-v0": 0.12,
+    # The 256-env 2-chunk probe read 0.12, but it started phase-aligned from
+    # reset: GoTo's dynamic per-mission max_steps sits just above the
+    # 256-step chunk, so the first chunks see almost no truncations.  The
+    # full-scale chained certification measured 15516 consumed rows in one
+    # 16384-env chunk (0.95/env steady state) — entered as 1.0.
+    "BabyAI-GoTo-v0": 1.0,
 }
 
 
