@@ -434,21 +434,18 @@ def fused_actor_rollout(
     WH = W * H
     T = int(num_steps)
     R = int(resets_per_chunk)
-    ext_pre = getattr(env, "fused_ext", None)
-    # Timesteps per kernel invocation: grid=(Eb, T) at the north-star config
-    # was 1024 launches per collection, and the per-launch fixed cost
-    # (dispatch + scratch state round trip) was the dominant non-matmul
-    # share of the rollout phase.  TC amortizes it; ext families trace a
-    # larger per-step body, so they unroll less to bound compile time, and
-    # interpret mode (test lane) stays at 1 (the unrolled trace would slow
-    # every equivalence test; a dedicated chunk-equivalence test forces
-    # ``time_chunk`` instead).
+    # Timesteps per kernel invocation.  A TC>1 "launch amortization" default
+    # was tried (grid=(Eb, T) is 1024 grid steps per collection) and MEASURED
+    # SLOWER on the v5e: Pallas grid steps run inside ONE launch with
+    # double-buffered output windows, so there is no per-step launch cost to
+    # amortize, and larger time blocks only coarsen the pipelining (Empty-8x8
+    # collect 152.5M sps at TC=1 vs 91.6M at TC=8; GoToLocal 31.3M vs 26.8M
+    # at TC=4).  Default is therefore 1; ``time_chunk`` stays for the
+    # chunk-equivalence test that pins TC-invariant trajectories.
     if time_chunk is not None:
         desired_tc = int(time_chunk)
-    elif interpret is not False and jax.devices()[0].platform != "tpu":
-        desired_tc = 1
     else:
-        desired_tc = 4 if ext_pre is not None else 8
+        desired_tc = 1
     TC = 1
     for cand in range(desired_tc, 0, -1):
         if T % cand == 0:
